@@ -1,0 +1,239 @@
+"""Default configuration tree.
+
+Mirrors the schema of the reference's yacs defaults
+(reference: config/default/config.py:9-229) so the reference experiment YAMLs
+(``config/sr_sr3_VGGF2_<lr>_<hr>_model{2,3}.yml``) merge cleanly, while adding a
+``tpu`` section for the sharding/precision knobs this framework introduces.
+"""
+
+from __future__ import annotations
+
+import os
+
+from .node import ConfigNode
+
+
+def get_cfg_defaults() -> ConfigNode:
+    c = ConfigNode()
+
+    c.sr3d_dir = os.getcwd()
+    c.device = "tpu"
+    c.device_id = [0]
+    c.name = ""
+    c.phase = "train"
+    c.debug = None
+    c.enable_wandb = None
+    c.log_wandb_ckpt = None
+    c.log_eval = None
+    c.sample = 1
+    c.checkpoint = None
+    c.model = "model3"
+    c.seed = 0
+    c.output_dir = "output"
+
+    c.path = ConfigNode()
+    c.path.log = "logs"
+    c.path.tb_logger = "tb_logger"
+    c.path.checkpoint = "checkpoint"
+
+    # ------------------------------------------------------------------ SR
+    sr = ConfigNode()
+    c.sr = sr
+    sr.pretrained_model_path = None
+
+    sr.datasets = ConfigNode()
+    sr.datasets.K = 4
+    sr.datasets.train = ConfigNode(
+        dict(
+            name="mocktest",
+            mode="HR",
+            dataroot="contents/vgg_face2_train_32_128",
+            datatype="img",
+            l_resolution=32,
+            r_resolution=128,
+            batch_size=4,
+            num_workers=0,
+            use_shuffle=True,
+            data_len=10000,
+        )
+    )
+    sr.datasets.val = ConfigNode(
+        dict(
+            name="mocktest",
+            mode="LRHR",
+            dataroot="contents/vgg_face2_eval_32_128",
+            datatype="img",
+            l_resolution=32,
+            r_resolution=128,
+            data_len=3,
+        )
+    )
+
+    sr.model = ConfigNode()
+    sr.model.which_model_G = "sr3"
+    sr.model.finetune_norm = False
+    sr.model.unet = ConfigNode(
+        dict(
+            in_channel=6,
+            out_channel=3,
+            inner_channel=64,
+            channel_multiplier=[1, 2, 4, 8, 8],
+            attn_res=[16],
+            res_blocks=2,
+            dropout=0.2,
+            norm_groups=32,
+        )
+    )
+    sr.model.beta_schedule = ConfigNode()
+    for phase in ("train", "val"):
+        sr.model.beta_schedule[phase] = ConfigNode(
+            dict(
+                schedule="linear",
+                n_timestep=2000,
+                linear_start=1e-6,
+                linear_end=1e-2,
+            )
+        )
+    sr.model.diffusion = ConfigNode(
+        dict(image_size=128, channels=3, conditional=True, loss="l1")
+    )
+
+    sr.train = ConfigNode(
+        dict(
+            n_iter=1000000,
+            val_freq=10000,
+            save_checkpoint_freq=10000,
+            print_freq=200,
+            optimizer=ConfigNode(dict(type="adam", lr=1e-4)),
+            ema_scheduler=ConfigNode(
+                dict(step_start_ema=5000, update_ema_every=1, ema_decay=0.9999)
+            ),
+        )
+    )
+
+    # ---------------------------------------------------------------- MICA
+    mica = ConfigNode()
+    c.mica = mica
+    mica.pretrained_model_path = None
+
+    mica.datasets = ConfigNode(
+        dict(
+            training_data=["LYHM"],
+            eval_data=["FLORENCE"],
+            datatype="img",
+            batch_size=2,
+            K=4,
+            n_train=100000,
+            num_workers=0,
+            root="datasets/arcface/",
+            dataset_path="contents",
+        )
+    )
+
+    mica.model = ConfigNode(
+        dict(
+            testing=False,
+            name="mica",
+            topology_path="data/FLAME2020/head_template.obj",
+            flame_model_path="data/FLAME2020/generic_model.pkl",
+            flame_lmk_embedding_path="data/FLAME2020/landmark_embedding.npy",
+            masks_path="data/FLAME2020/FLAME_masks.pkl",
+            n_shape=300,
+            n_exp=100,
+            layers=8,
+            hidden_layers_size=256,
+            mapping_layers=3,
+            map_hidden_dim=300,
+            use_pretrained=True,
+            arcface_pretrained_model=None,
+            n_pose=6,
+        )
+    )
+
+    mica.train = ConfigNode(
+        dict(
+            use_mask=False,
+            max_epochs=50,
+            max_steps=100000,
+            lr=1e-4,
+            arcface_lr=1e-3,
+            weight_decay=0.0,
+            lr_update_step=100000000,
+            lr_gamma=0.1,
+            log_dir="logs",
+            log_steps=10,
+            vis_dir="train_images_mica",
+            vis_steps=200,
+            write_summary=True,
+            checkpoint_steps=1000,
+            checkpoint_epochs_steps=2,
+            val_steps=1000,
+            val_vis_dir="val_images_mica",
+            eval_steps=5000,
+            reset_optimizer=False,
+            val_save_img=5000,
+            arcface_new=False,
+        )
+    )
+
+    mica.mask_weights = ConfigNode(
+        dict(
+            face=150.0,
+            nose=50.0,
+            lips=50.0,
+            forehead=50.0,
+            lr_eye_region=50.0,
+            eye_region=50.0,
+            whole=1.0,
+            ears=0.01,
+            eyes=0.01,
+        )
+    )
+    mica.running_average = 7
+    mica.test_dataset = "now"
+
+    # --------------------------------------------------------------- train
+    c.train = ConfigNode(
+        dict(
+            log_dir="logs",
+            val_freq=10000,
+            save_checkpoint_freq=10000,
+            print_freq=200,
+            lr_update_step=100000000,
+            log_steps=100,
+            vis_dir="train_images_mica",
+            vis_steps=500,
+            write_summary=True,
+            checkpoint_steps=1000,
+            val_vis_dir="val_images_mica",
+            eval_steps=5000,
+            reset_optimizer=False,
+            val_n_img=5,
+        )
+    )
+
+    c.wandb = ConfigNode(dict(project="sr_vggf2"))
+
+    # ----------------------------------------------------------------- TPU
+    # New capability section (no reference equivalent): device-mesh layout,
+    # precision, and compilation knobs.
+    c.tpu = ConfigNode(
+        dict(
+            mesh_shape=[-1, 1],          # (data, model); -1 = all devices
+            mesh_axis_names=["data", "model"],
+            compute_dtype="bfloat16",     # activations/matmuls on MXU
+            param_dtype="float32",
+            sample_remat=True,            # jax.checkpoint per sampling step
+            train_remat=True,             # remat UNet blocks in train step
+            use_pallas=True,              # fused kernels where profitable
+            donate_state=True,
+            prefetch_depth=2,
+        )
+    )
+
+    return c
+
+
+def update_cfg(cfg: ConfigNode, cfg_file: str) -> ConfigNode:
+    cfg.merge_from_file(cfg_file)
+    return cfg.clone()

@@ -1,0 +1,279 @@
+"""Gaussian diffusion: training losses and scan-compiled ancestral sampling.
+
+Functional re-design of the reference ``GaussianDiffusion``
+(reference: model/sr/sr3_modules/diffusion.py:65-318 and the discrete-t variant
+model/sr/ddpm_modules/diffusion.py) built for XLA:
+
+* the full T-step reverse loop is one ``jax.lax.scan`` inside a single jit —
+  the throughput-defining kernel of the whole framework (reference runs it as
+  a python loop of T sequential module calls);
+* the differentiable variant used by "model3" wraps the per-step body in
+  ``jax.checkpoint`` so backprop through T steps stores O(1) activations per
+  step (reference: torch.utils.checkpoint at
+  model/sr/sr3_modules/diffusion.py:243-273);
+* all schedule buffers are scan constants (``DiffusionSchedule``), no mutable
+  module state.
+
+Data layout is NHWC (TPU-native).  ``denoise_apply(x, time)`` takes the
+channel-concatenated ``[cond, x_t]`` input and either a continuous noise level
+``γ`` of shape [B, 1] (SR3) or an integer timestep (DDPM variant).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Literal, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .schedules import DiffusionSchedule
+
+DenoiseFn = Callable[[jax.Array, jax.Array], jax.Array]
+# (x_cat_or_x, time_embedding_input) -> predicted noise
+
+
+# --------------------------------------------------------------------------
+# forward process q
+# --------------------------------------------------------------------------
+
+def q_sample_gamma(x_start: jax.Array, gamma: jax.Array,
+                   noise: jax.Array) -> jax.Array:
+    """Continuous-noise-level forward diffusion (SR3 recipe).
+
+    ``x_t = γ·x₀ + sqrt(1-γ²)·ε``  (reference:
+    model/sr/sr3_modules/diffusion.py:275-282, γ = continuous √ᾱ).
+    ``gamma`` broadcasts over trailing dims: shape [B] or [B,1,1,1].
+    """
+    gamma = gamma.reshape(gamma.shape[0], *([1] * (x_start.ndim - 1)))
+    return gamma * x_start + jnp.sqrt(1.0 - gamma ** 2) * noise
+
+
+def q_sample_discrete(x_start: jax.Array, t: jax.Array, sched: DiffusionSchedule,
+                      noise: jax.Array) -> jax.Array:
+    """Discrete-t forward diffusion (DDPM variant,
+    reference: model/sr/ddpm_modules/diffusion.py)."""
+    shape = (t.shape[0],) + (1,) * (x_start.ndim - 1)
+    sa = sched.sqrt_alphas_cumprod[t].reshape(shape)
+    soma = sched.sqrt_one_minus_alphas_cumprod[t].reshape(shape)
+    return sa * x_start + soma * noise
+
+
+def sample_continuous_gamma(
+    rng: jax.Array, sched: DiffusionSchedule, batch: int,
+    per_sample_t: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Draw the continuous noise level γ used for SR3 training.
+
+    Matches the reference distribution
+    (model/sr/sr3_modules/diffusion.py:284-296): ``t ~ U{1..T}`` (a single t
+    for the whole batch, like the reference's ``np.random.randint``), then
+    ``γ ~ U[√ᾱ_{t-1}, √ᾱ_t]`` per element.  ``per_sample_t=True`` draws an
+    independent t per element (better-conditioned gradient estimator; opt-in).
+
+    Returns ``(t, gamma[batch])``.
+    """
+    k_t, k_g = jax.random.split(rng)
+    T = sched.num_timesteps
+    if per_sample_t:
+        t = jax.random.randint(k_t, (batch,), 1, T + 1)
+    else:
+        t = jnp.full((batch,), jax.random.randint(k_t, (), 1, T + 1))
+    lo = sched.sqrt_alphas_cumprod_prev[t - 1]
+    hi = sched.sqrt_alphas_cumprod_prev[t]
+    u = jax.random.uniform(k_g, (batch,))
+    return t, lo + u * (hi - lo)
+
+
+# --------------------------------------------------------------------------
+# reverse process p
+# --------------------------------------------------------------------------
+
+def predict_start_from_noise(sched: DiffusionSchedule, x_t: jax.Array,
+                             t: jax.Array, noise: jax.Array) -> jax.Array:
+    """x̂₀ = √(1/ᾱ_t)·x_t − √(1/ᾱ_t − 1)·ε̂  (reference :144-151)."""
+    return (sched.sqrt_recip_alphas_cumprod[t] * x_t
+            - sched.sqrt_recipm1_alphas_cumprod[t] * noise)
+
+
+def q_posterior(sched: DiffusionSchedule, x_start: jax.Array, x_t: jax.Array,
+                t: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Posterior mean / clipped log-variance of q(x_{t-1}|x_t, x₀)
+    (reference :153-162)."""
+    mean = (sched.posterior_mean_coef1[t] * x_start
+            + sched.posterior_mean_coef2[t] * x_t)
+    return mean, sched.posterior_log_variance_clipped[t]
+
+
+def p_mean_variance(
+    denoise_apply: DenoiseFn,
+    sched: DiffusionSchedule,
+    x: jax.Array,
+    t: jax.Array,
+    condition: jax.Array | None,
+    clip_denoised: bool = True,
+    time_input: Literal["gamma", "t"] = "gamma",
+) -> tuple[jax.Array, jax.Array]:
+    """One reverse-step mean/log-variance (reference :164-180)."""
+    b = x.shape[0]
+    if time_input == "gamma":
+        noise_level = jnp.full((b, 1), sched.sqrt_alphas_cumprod_prev[t + 1],
+                               dtype=x.dtype)
+        time = noise_level
+    else:
+        time = jnp.full((b,), t, dtype=jnp.int32)
+    net_in = x if condition is None else jnp.concatenate([condition, x], -1)
+    eps = denoise_apply(net_in, time)
+    x_recon = predict_start_from_noise(sched, x, t, eps.astype(jnp.float32))
+    if clip_denoised:
+        x_recon = jnp.clip(x_recon, -1.0, 1.0)
+    return q_posterior(sched, x_recon, x, t)
+
+
+def _p_sample_step(
+    denoise_apply: DenoiseFn,
+    sched: DiffusionSchedule,
+    img: jax.Array,
+    t: jax.Array,
+    condition: jax.Array | None,
+    rng: jax.Array,
+    clip_denoised: bool,
+    time_input: Literal["gamma", "t"],
+) -> jax.Array:
+    mean, log_var = p_mean_variance(
+        denoise_apply, sched, img, t, condition, clip_denoised, time_input)
+    noise = jax.random.normal(rng, img.shape, img.dtype)
+    noise = jnp.where(t > 0, noise, jnp.zeros_like(noise))
+    return mean + noise * jnp.exp(0.5 * log_var)
+
+
+class SampleOutput(NamedTuple):
+    final: jax.Array                 # x₀ sample, shape of x_in
+    intermediates: jax.Array | None  # [n_kept, ...] trajectory or None
+
+
+def p_sample_loop(
+    denoise_apply: DenoiseFn,
+    sched: DiffusionSchedule,
+    x_in: jax.Array,
+    rng: jax.Array,
+    *,
+    conditional: bool = True,
+    clip_denoised: bool = True,
+    differentiable: bool = False,
+    remat: bool = True,
+    return_intermediates: bool = False,
+    time_input: Literal["gamma", "t"] = "gamma",
+) -> SampleOutput:
+    """Full ancestral reverse loop as one ``lax.scan``.
+
+    * ``conditional=True``: ``x_in`` is the bicubically-upsampled LR
+      conditioning image; sampling starts from pure noise of the same shape
+      (reference ``super_resolution``, :224-225).
+    * ``conditional=False``: unconditional generation; ``x_in`` is only used
+      for its shape/dtype (reference ``sample``, :217-221).
+    * ``differentiable=True`` keeps the loop on the autodiff tape — gradients
+      flow to the UNet parameters through every step, with per-step
+      rematerialisation when ``remat`` (the "model3" path, reference
+      ``p_sample_loop_learn`` :243-273).  Under the default
+      ``differentiable=False`` the result is wrapped in ``stop_gradient``
+      (the torch ``@no_grad`` of ``p_sample_loop`` :189-215).
+    * ``return_intermediates`` keeps every ``1 | T//10``-th frame like the
+      reference's ``continous=True`` trajectory output (:200-211), as a
+      statically-shaped stacked array.
+    """
+    T = sched.num_timesteps
+    condition = x_in if conditional else None
+    shape = x_in.shape
+
+    k_init, k_loop = jax.random.split(rng)
+    img0 = jax.random.normal(k_init, shape, jnp.float32)
+
+    sample_inter = 1 | (T // 10)
+    n_kept = (T + sample_inter - 1) // sample_inter if return_intermediates else 0
+
+    def step(carry, i):
+        img, kept = carry
+        t = T - 1 - i  # traced scalar index into schedule buffers
+        step_rng = jax.random.fold_in(k_loop, i)
+        new_img = _p_sample_step(
+            denoise_apply, sched, img, t, condition, step_rng,
+            clip_denoised, time_input)
+        if return_intermediates:
+            slot = t // sample_inter
+            kept = jax.lax.cond(
+                t % sample_inter == 0,
+                lambda k: jax.lax.dynamic_update_index_in_dim(
+                    k, new_img, slot, 0),
+                lambda k: k,
+                kept)
+        return (new_img, kept), None
+
+    body = step
+    if differentiable and remat:
+        body = jax.checkpoint(step, prevent_cse=False)
+
+    kept0 = (jnp.zeros((n_kept,) + shape, jnp.float32)
+             if return_intermediates else jnp.zeros((0,), jnp.float32))
+    (img, kept), _ = jax.lax.scan(body, (img0, kept0), jnp.arange(T))
+
+    if not differentiable:
+        img = jax.lax.stop_gradient(img)
+        kept = jax.lax.stop_gradient(kept)
+    return SampleOutput(final=img,
+                        intermediates=kept if return_intermediates else None)
+
+
+# --------------------------------------------------------------------------
+# training losses
+# --------------------------------------------------------------------------
+
+def p_losses_continuous(
+    denoise_apply: DenoiseFn,
+    sched: DiffusionSchedule,
+    hr: jax.Array,
+    cond: jax.Array | None,
+    rng: jax.Array,
+    *,
+    loss_type: Literal["l1", "l2"] = "l1",
+    per_sample_t: bool = False,
+) -> jax.Array:
+    """SR3 continuous-noise-level training loss, ``reduction='sum'``.
+
+    Matches reference ``p_losses`` (model/sr/sr3_modules/diffusion.py:284-313):
+    the caller divides by ``b*c*h*w`` exactly like
+    model/sr3d/model.py:287-290 does.
+    """
+    b = hr.shape[0]
+    k_g, k_n = jax.random.split(rng)
+    _, gamma = sample_continuous_gamma(k_g, sched, b, per_sample_t)
+    noise = jax.random.normal(k_n, hr.shape, jnp.float32)
+    x_noisy = q_sample_gamma(hr, gamma, noise)
+    net_in = x_noisy if cond is None else jnp.concatenate([cond, x_noisy], -1)
+    eps = denoise_apply(net_in, gamma[:, None]).astype(jnp.float32)
+    if loss_type == "l1":
+        return jnp.sum(jnp.abs(noise - eps))
+    return jnp.sum((noise - eps) ** 2)
+
+
+def p_losses_discrete(
+    denoise_apply: DenoiseFn,
+    sched: DiffusionSchedule,
+    hr: jax.Array,
+    cond: jax.Array | None,
+    rng: jax.Array,
+    *,
+    loss_type: Literal["l1", "l2"] = "l1",
+) -> jax.Array:
+    """DDPM discrete-t training loss (reference:
+    model/sr/ddpm_modules/diffusion.py:278-295)."""
+    b = hr.shape[0]
+    k_t, k_n = jax.random.split(rng)
+    t = jax.random.randint(k_t, (b,), 0, sched.num_timesteps)
+    noise = jax.random.normal(k_n, hr.shape, jnp.float32)
+    x_noisy = q_sample_discrete(hr, t, sched, noise)
+    net_in = x_noisy if cond is None else jnp.concatenate([cond, x_noisy], -1)
+    eps = denoise_apply(net_in, t).astype(jnp.float32)
+    if loss_type == "l1":
+        return jnp.sum(jnp.abs(noise - eps))
+    return jnp.sum((noise - eps) ** 2)
