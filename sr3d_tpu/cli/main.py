@@ -1,0 +1,74 @@
+"""Main CLI — flag-compatible with the reference entry point.
+
+Reference: ``python main_temp.py -p {train,val} -c <cfg.yml> [-s N]
+[-ckt path] [-m model2|model3]`` (config/default/config.py:246-281,
+main_temp.py:21-75).  Usage here:
+``python -m sr3d_tpu.cli.main -p train -c configs/tiny_8_16_model2.yml``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import random
+import sys
+from pathlib import Path
+
+import numpy as np
+
+from ..config.defaults import get_cfg_defaults, update_cfg
+
+
+def parse_args(argv=None):
+    parser = argparse.ArgumentParser(description="sr3d_tpu joint trainer")
+    parser.add_argument("--cfg", "-c", type=str, default=None,
+                        help="experiment YAML overlay")
+    parser.add_argument("--phase", "-p", type=str, default="train",
+                        choices=["train", "val"])
+    parser.add_argument("--sample", "-s", type=int, default=1,
+                        help="samples per val input")
+    parser.add_argument("--checkpoint", "-ckt", type=str, default=None)
+    parser.add_argument("--model", "-m", type=str, default=None,
+                        choices=["model2", "model3"])
+    parser.add_argument("--max-steps", type=int, default=None,
+                        help="cap on train steps this invocation (new knob)")
+    args = parser.parse_args(argv)
+
+    cfg = get_cfg_defaults()
+    if args.cfg:
+        cfg = update_cfg(cfg, args.cfg)
+        cfg.cfg_file = args.cfg
+        if not cfg.get("name"):
+            cfg.name = Path(args.cfg).stem
+    cfg.phase = args.phase
+    cfg.sample = args.sample
+    if args.checkpoint:
+        cfg.checkpoint = args.checkpoint
+    if args.model:
+        cfg.model = args.model
+    return cfg, args
+
+
+def main(argv=None):
+    cfg, args = parse_args(argv)
+
+    logging.basicConfig(
+        level=logging.INFO,
+        format="%(asctime)s %(name)s %(levelname)s %(message)s")
+
+    random.seed(int(cfg.seed))
+    np.random.seed(int(cfg.seed))
+
+    out = Path(cfg.output_dir) / (cfg.name or "default")
+    (out / cfg.path.log).mkdir(parents=True, exist_ok=True)
+    # dump the merged config for reproducibility (main_temp.py:47-49)
+    cfg.dump(str(out / "full_config.yaml"))
+
+    from ..train.trainer import Trainer
+    trainer = Trainer(cfg)
+    trainer.fit(max_steps=args.max_steps)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

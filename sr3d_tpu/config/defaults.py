@@ -146,6 +146,7 @@ def get_cfg_defaults() -> ConfigNode:
             map_hidden_dim=300,
             use_pretrained=True,
             arcface_pretrained_model=None,
+            arcface_layers=[3, 13, 30, 3],  # iresnet100
             n_pose=6,
         )
     )

@@ -1,0 +1,126 @@
+"""Joint (SR + MICA) per-actor dataset.
+
+Parity with the reference ``BaseDataset`` (datasets/base.py:209-331): items
+are **actors**; each item samples K images of that actor and returns the 224
+crop, the 112 arcface blob, the actor's FLAME parameters, and the HR/SR/[LR]
+triplet for the SR branch.  Static shapes throughout: K is fixed (train) and
+images are padded/cropped deterministically, so the downstream jit never sees
+a dynamic dimension (SURVEY.md §7 "hard parts": per-actor K-sampling with
+static shapes).
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+import numpy as np
+
+from .lrhr import load_image_m11
+
+
+class JointFaceDataset:
+    """Actor-keyed dataset reading the reference's cached-path layout
+    (``image_paths/<NAME>.npy`` → {actor: ([imgs], flame.npz)},
+    datasets/base.py:115-119)."""
+
+    def __init__(
+        self,
+        root: str | os.PathLike,
+        name: str,
+        K: int = 4,
+        lr_res: int = 16,
+        hr_res: int = 128,
+        is_train: bool = True,
+        n_shape: int = 300,
+        n_exp: int = 100,
+        eval_max_k: int = 8,
+        seed: int = 0,
+    ):
+        self.root = Path(root)
+        self.name = name
+        self.K = int(K)
+        self.lr_res = lr_res
+        self.hr_res = hr_res
+        self.is_train = is_train
+        self.n_shape = n_shape
+        self.n_exp = n_exp
+        self.eval_max_k = eval_max_k
+        self._rng = np.random.RandomState(seed)
+
+        paths_file = self.root / "image_paths" / f"{name}.npy"
+        face_dict = np.load(paths_file, allow_pickle=True).item()
+        self.actors = sorted(face_dict.keys())
+        self.face_dict = face_dict
+
+    def __len__(self) -> int:
+        return len(self.actors)
+
+    def _k_indices(self, n_imgs: int) -> np.ndarray:
+        k = self.K if self.is_train else min(self.eval_max_k, n_imgs)
+        if self.is_train:
+            # K random picks with replacement if the actor has < K images
+            # (reference samples K random, datasets/base.py:216-220)
+            replace = n_imgs < k
+            return self._rng.choice(n_imgs, k, replace=replace)
+        return np.arange(k)
+
+    def _sr_triplet(self, img_rel: str) -> dict:
+        """HR/LR/SR pngs materialised next to the actor
+        (layout written by synthetic.generate_synthetic_joint_root and the
+        prep tool)."""
+        rel = Path(img_rel)
+        actor = rel.parent.name
+        stem = rel.stem
+        srdir = (self.root / self.name / "SR"
+                 / f"{self.lr_res}_{self.hr_res}" / actor)
+        return {
+            "HR": load_image_m11(srdir / f"{stem}_hr.png"),
+            "SR": load_image_m11(srdir / f"{stem}_sr.png"),
+            "LR": load_image_m11(srdir / f"{stem}_lr.png"),
+        }
+
+    def __getitem__(self, index: int) -> dict:
+        actor = self.actors[index]
+        img_rels, flame_rel = self.face_dict[actor]
+        img_rels = list(img_rels)
+        idxs = self._k_indices(len(img_rels))
+
+        images, blobs, hrs, srs, lrs, names = [], [], [], [], [], []
+        for i in idxs:
+            rel = img_rels[i]
+            img = load_image_m11(self.root / rel)          # 224 crop, [-1,1]
+            blob_chw = np.load(
+                (self.root / rel).with_suffix(".npy")).astype(np.float32)
+            blobs.append(blob_chw.transpose(1, 2, 0))       # CHW → HWC
+            images.append((img + 1.0) / 2.0)                # [0,1] like /255
+            trip = self._sr_triplet(rel)
+            hrs.append(trip["HR"])
+            srs.append(trip["SR"])
+            lrs.append(trip["LR"])
+            names.append(Path(rel).stem)
+
+        flame = np.load(self.root / flame_rel)
+        betas = np.asarray(flame["betas"], np.float32).reshape(-1)
+        shape = np.zeros(self.n_shape, np.float32)
+        exp = np.zeros(self.n_exp, np.float32)
+        shape[:min(self.n_shape, betas.shape[0])] = \
+            betas[:min(self.n_shape, betas.shape[0])]
+        if betas.shape[0] > 300:
+            e = betas[300:300 + self.n_exp]
+            exp[:e.shape[0]] = e
+
+        K = len(idxs)
+        return {
+            "image": np.stack(images),                     # [K,224,224,3]
+            "arcface": np.stack(blobs),                    # [K,112,112,3]
+            "HR": np.stack(hrs),                           # [K,hr,hr,3]
+            "SR": np.stack(srs),
+            "LR": np.stack(lrs),
+            "flame_shape": np.broadcast_to(shape, (K, self.n_shape)).copy(),
+            "flame_exp": np.broadcast_to(exp, (K, self.n_exp)).copy(),
+            "imagename": names,
+            "dataset": self.name,
+            "actor": actor,
+            "Index": index,
+        }

@@ -1,0 +1,80 @@
+"""SR-only LR/HR/SR triplet dataset.
+
+Parity with the reference ``LRHRDataset`` (datasets/LRHR_dataset.py:9-99):
+reads ``{root}/lr_{l}``, ``{root}/hr_{r}``, ``{root}/sr_{l}_{r}`` image dirs,
+returns [-1,1] float32 NHWC arrays keyed ``HR/SR/[LR]`` plus the source path.
+Host-side numpy only — device transfer happens in the pipeline layer.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+import numpy as np
+
+IMG_EXTENSIONS = {".jpg", ".jpeg", ".png", ".bmp", ".webp"}
+
+
+def get_paths_from_images(path: str | os.PathLike) -> list[str]:
+    """Sorted recursive scan (reference datasets/util.py:13-24)."""
+    assert os.path.isdir(path), f"{path} is not a valid directory"
+    images = []
+    for dirpath, _, fnames in sorted(os.walk(path)):
+        for fname in sorted(fnames):
+            if Path(fname).suffix.lower() in IMG_EXTENSIONS:
+                images.append(os.path.join(dirpath, fname))
+    assert images, f"{path} has no valid image file"
+    return images
+
+
+def load_image_m11(path: str | os.PathLike) -> np.ndarray:
+    """PNG/JPG → float32 HWC in [-1, 1] (reference transform_augment
+    min_max=(-1,1), datasets/util.py:76-83)."""
+    from PIL import Image
+
+    img = np.asarray(Image.open(path).convert("RGB"), dtype=np.float32)
+    return img / 127.5 - 1.0
+
+
+class LRHRDataset:
+    """Returns dict(HR, SR, [LR], Index, path_sr) per item."""
+
+    def __init__(
+        self,
+        dataroot: str | os.PathLike,
+        l_resolution: int = 16,
+        r_resolution: int = 128,
+        split: str = "train",
+        data_len: int = -1,
+        need_LR: bool = False,
+    ):
+        self.l_res = l_resolution
+        self.r_res = r_resolution
+        self.need_LR = need_LR
+        self.split = split
+
+        root = Path(dataroot)
+        self.sr_paths = get_paths_from_images(
+            root / f"sr_{l_resolution}_{r_resolution}")
+        self.hr_paths = get_paths_from_images(root / f"hr_{r_resolution}")
+        if need_LR:
+            self.lr_paths = get_paths_from_images(root / f"lr_{l_resolution}")
+
+        self.dataset_len = len(self.hr_paths)
+        self.data_len = (self.dataset_len if data_len <= 0
+                         else min(data_len, self.dataset_len))
+
+    def __len__(self) -> int:
+        return self.data_len
+
+    def __getitem__(self, index: int) -> dict:
+        item = {
+            "HR": load_image_m11(self.hr_paths[index]),
+            "SR": load_image_m11(self.sr_paths[index]),
+            "Index": index,
+            "path_sr": str(self.sr_paths[index]),
+        }
+        if self.need_LR:
+            item["LR"] = load_image_m11(self.lr_paths[index])
+        return item

@@ -22,7 +22,10 @@ class EmaState(NamedTuple):
 
 
 def ema_init(params) -> EmaState:
-    return EmaState(params=jax.tree.map(jnp.asarray, params),
+    # copy (not alias) so the EMA pytree owns distinct buffers — donated
+    # train states would otherwise donate the same buffer twice
+    return EmaState(params=jax.tree.map(lambda x: jnp.array(x, copy=True),
+                                        params),
                     step=jnp.zeros((), jnp.int32))
 
 

@@ -1,0 +1,153 @@
+"""Mesh visualization renderer in pure JAX (no pytorch3d).
+
+Replaces the reference's pytorch3d ``MeshShapeRenderer``
+(reference: lib/MICA/micalib/renderer.py:28-72 — FoV perspective camera,
+directional light, SoftPhong shading, 512×512) with an XLA-friendly
+scatter-tile rasterizer:
+
+* vertices are projected by a pinhole FoV camera;
+* every face rasterises a fixed ``tile×tile`` pixel block around its
+  screen-space bbox (static shapes — no data-dependent loops);
+* a two-pass z-buffer (segment-min depth, then depth-match select) resolves
+  visibility;
+* Lambertian + ambient shading on smooth per-vertex normals, barycentrically
+  interpolated (Gouraud) — visually equivalent for the gray head renders the
+  trainer logs.
+
+Visualization-only: correctness > speed, and it stays off the train path
+(SURVEY.md §2.6).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def look_at_z(vertices: jax.Array, eye_z: float = -3.0) -> jax.Array:
+    """Place camera on -z axis looking at origin (the reference renders the
+    canonical FLAME head with a fixed camera, renderer.py:33-38)."""
+    return vertices - jnp.asarray([0.0, 0.0, eye_z])
+
+
+def vertex_normals(vertices: jax.Array, faces: jax.Array) -> jax.Array:
+    """[V,3] smooth normals: area-weighted face-normal scatter."""
+    v0 = vertices[faces[:, 0]]
+    v1 = vertices[faces[:, 1]]
+    v2 = vertices[faces[:, 2]]
+    fn = jnp.cross(v1 - v0, v2 - v0)  # area-weighted
+    vn = jnp.zeros_like(vertices)
+    for k in range(3):
+        vn = vn.at[faces[:, k]].add(fn)
+    return vn / jnp.linalg.norm(vn, axis=-1, keepdims=True).clip(1e-12)
+
+
+@partial(jax.jit, static_argnames=("image_size", "tile", "fov_deg"))
+def render_mesh(
+    vertices: jax.Array,        # [V,3] canonical-space (metres)
+    faces: jax.Array,           # [F,3] int32
+    image_size: int = 512,
+    tile: int = 8,
+    fov_deg: float = 12.0,
+    eye_z: float = -3.0,
+    light_dir=(0.0, 0.0, 1.0),
+    base_color=(0.8, 0.8, 0.8),
+) -> jax.Array:
+    """Render one mesh → [image_size, image_size, 3] float32 in [0,1]."""
+    V = vertices.shape[0]
+    F = faces.shape[0]
+    P = image_size
+
+    cam_v = look_at_z(vertices, eye_z)                 # camera space, +z fwd
+    focal = 1.0 / jnp.tan(jnp.deg2rad(fov_deg) / 2.0)
+    z = cam_v[:, 2].clip(1e-6)
+    sx = (cam_v[:, 0] * focal / z * 0.5 + 0.5) * (P - 1)
+    # image y axis points down; world y up
+    sy = (-cam_v[:, 1] * focal / z * 0.5 + 0.5) * (P - 1)
+    screen = jnp.stack([sx, sy], -1)                   # [V,2]
+
+    normals = vertex_normals(vertices, faces)
+    ld = jnp.asarray(light_dir, jnp.float32)
+    ld = ld / jnp.linalg.norm(ld)
+    # headlight Lambert + ambient
+    vert_shade = 0.25 + 0.75 * jnp.abs(normals @ ld)   # [V]
+
+    tri = screen[faces]                                # [F,3,2]
+    tri_z = z[faces]                                   # [F,3]
+    tri_shade = vert_shade[faces]                      # [F,3]
+
+    # fixed tile anchored at each face's bbox min (clipped to the canvas)
+    bb_min = jnp.floor(tri.min(axis=1)).astype(jnp.int32)          # [F,2]
+    bb_min = jnp.clip(bb_min, 0, P - tile)
+    dy, dx = jnp.mgrid[0:tile, 0:tile]
+    px = bb_min[:, 0, None, None] + dx[None]           # [F,t,t]
+    py = bb_min[:, 1, None, None] + dy[None]
+    pix = jnp.stack([px, py], -1).astype(jnp.float32) + 0.5
+
+    # barycentric coords of every tile pixel wrt its face
+    a, b, c = tri[:, 0], tri[:, 1], tri[:, 2]
+    v0 = (b - a)[:, None, None]
+    v1 = (c - a)[:, None, None]
+    v2 = pix - a[:, None, None]
+    d00 = (v0 * v0).sum(-1)
+    d01 = (v0 * v1).sum(-1)
+    d11 = (v1 * v1).sum(-1)
+    d20 = (v2 * v0).sum(-1)
+    d21 = (v2 * v1).sum(-1)
+    denom = d00 * d11 - d01 * d01
+    denom = jnp.where(jnp.abs(denom) < 1e-12, 1e-12, denom)
+    w1 = (d11 * d20 - d01 * d21) / denom
+    w2 = (d00 * d21 - d01 * d20) / denom
+    w0 = 1.0 - w1 - w2
+    inside = (w0 >= 0) & (w1 >= 0) & (w2 >= 0)         # [F,t,t]
+
+    depth = (w0 * tri_z[:, 0, None, None]
+             + w1 * tri_z[:, 1, None, None]
+             + w2 * tri_z[:, 2, None, None])
+    shade = (w0 * tri_shade[:, 0, None, None]
+             + w1 * tri_shade[:, 1, None, None]
+             + w2 * tri_shade[:, 2, None, None])
+
+    flat_idx = (py * P + px).reshape(-1)               # [F*t*t]
+    big = jnp.float32(1e9)
+    depth_flat = jnp.where(inside, depth, big).reshape(-1)
+    shade_flat = shade.reshape(-1)
+
+    # pass 1: winning depth per pixel
+    zbuf = jnp.full((P * P,), big).at[flat_idx].min(depth_flat)
+    # pass 2: candidates matching the winning depth write their shade
+    is_winner = (depth_flat <= zbuf[flat_idx] + 1e-7) & (depth_flat < big)
+    shade_buf = jnp.zeros((P * P,)).at[flat_idx].max(
+        jnp.where(is_winner, shade_flat, 0.0))
+
+    img = shade_buf.reshape(P, P)[..., None] * jnp.asarray(base_color)
+    hit = (zbuf < big).reshape(P, P)[..., None]
+    return jnp.where(hit, img, 1.0)  # white background
+
+
+def render_meshes(vertices_b: jax.Array, faces: jax.Array,
+                  image_size: int = 512, **kw) -> jax.Array:
+    """[B,V,3] → [B,S,S,3] via vmap."""
+    return jax.vmap(lambda v: render_mesh(v, faces, image_size, **kw))(
+        vertices_b)
+
+
+def visualize_grid(images: np.ndarray, path: str | None = None,
+                   ncol: int = 4) -> np.ndarray:
+    """Tile [N,H,W,3] float [0,1] images into a grid (reference
+    lib/MICA/utils/util.py:51-76); optionally save as PNG."""
+    n, h, w, c = images.shape
+    ncol = min(ncol, n)
+    nrow = (n + ncol - 1) // ncol
+    grid = np.ones((nrow * h, ncol * w, c), images.dtype)
+    for i in range(n):
+        r, col = divmod(i, ncol)
+        grid[r * h:(r + 1) * h, col * w:(col + 1) * w] = images[i]
+    if path is not None:
+        from PIL import Image
+
+        Image.fromarray((grid.clip(0, 1) * 255).astype(np.uint8)).save(path)
+    return grid

@@ -7,12 +7,14 @@ stages of IBasicBlocks [3, 13, 30, 3] each stride-2, BN→flatten→dropout→FC
 a 512-d embedding, and a final affine-frozen BatchNorm1d ("features").
 
 MICA freezes the stem + stages 1-3 and trains only stage 4 / bn2 / fc /
-features (reference: model/mica/arcface.py:171-176, :182-200).  Here the
-freeze is expressed functionally: ``frozen_prefix_stop_gradient`` zeroes
-gradients through the frozen subtree via ``jax.lax.stop_gradient`` on the
-parameter partition, and frozen-prefix BatchNorms always run with running
-averages (the reference sloppily keeps updating frozen BN stats in train
-mode; we deliberately pin them — documented deviation).
+features (reference: model/mica/arcface.py:171-176, :182-200).  The freeze is
+expressed in the optimizer: ``frozen_prefix_mask`` labels the frozen subtree
+and the joint optimizer applies ``optax.set_to_zero`` there, while input
+gradients keep flowing (matching torch ``requires_grad=False`` semantics —
+needed by the model3 differentiable SR→MICA path).  Frozen-prefix BatchNorms
+always run with running averages (the reference sloppily keeps updating
+frozen BN stats in train mode; we deliberately pin them — documented
+deviation).
 
 Input convention matches the reference "arcface blob": 112×112, BGR channel
 order, values normalised to [-1, 1] via (x-127.5)/127.5 (NHWC here).
@@ -98,15 +100,14 @@ class IResNet(nn.Module):
                  train_frozen_prefix: bool = False) -> jax.Array:
         """x: [B,112,112,3] BGR in [-1,1]. Returns [B,512] embeddings.
 
-        The frozen prefix (stem + stages 1-3) runs under ``stop_gradient``
-        and with running-average BN unless ``train_frozen_prefix``.
+        The frozen prefix (stem + stages 1-3) runs with running-average BN
+        unless ``train_frozen_prefix``.  Parameter freezing is done in the
+        optimizer via ``frozen_prefix_mask`` — NOT with an activation
+        ``stop_gradient``, which would also sever the input gradient the
+        model3 path needs (∂l_mica/∂blob → SR UNet); torch's
+        ``requires_grad=False`` freeze likewise keeps input grads flowing.
         """
         prefix_train = train and train_frozen_prefix
-
-        def frozen(scope_out):
-            if train_frozen_prefix:
-                return scope_out
-            return jax.lax.stop_gradient(scope_out)
 
         h = nn.Conv(64, (3, 3), padding=1, use_bias=False, dtype=self.dtype,
                     name="conv1")(x.astype(self.dtype))
@@ -119,7 +120,6 @@ class IResNet(nn.Module):
             h, train=prefix_train)
         h = _Stage(256, self.layers[2], 2, self.dtype, name="layer3")(
             h, train=prefix_train)
-        h = frozen(h)
 
         h = _Stage(512, self.layers[3], 2, self.dtype, name="layer4")(
             h, train=train)

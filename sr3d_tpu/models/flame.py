@@ -193,7 +193,7 @@ def _find_dynamic_lmk_idx_and_bcoords(
 
     y_rot_angle = jnp.round(
         jnp.clip(lbs_ops.rot_mat_to_euler(rel_rot_mat) * 180.0 / np.pi,
-                 a_max=39)).astype(jnp.int32)
+                 max=39)).astype(jnp.int32)
     neg_mask = (y_rot_angle < 0).astype(jnp.int32)
     mask = (y_rot_angle < -39).astype(jnp.int32)
     neg_vals = mask * 78 + (1 - mask) * (39 - y_rot_angle)

@@ -1,0 +1,100 @@
+"""Checkpoint / resume via Orbax.
+
+Reference parity (lib/trainer_temp.py:226-266 and SURVEY.md §5): one combined
+checkpoint per save holding the same logical sections —
+``sr_model_state`` (+EMA), ``sr/mica optimizer state``, ``scheduler`` (folded
+into the optax schedule counters), ``epoch``, ``global_step``,
+``batch_size_mica`` — addressed as a single train-state pytree.  Resume picks
+the latest step in the directory (the reference's sorted-glob auto-resume,
+lib/trainer_temp.py:148-155) or an explicit path (``-ckt``).
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+from typing import Any
+
+import jax
+import numpy as np
+
+try:
+    import orbax.checkpoint as ocp
+    _HAS_ORBAX = True
+except Exception:  # pragma: no cover
+    _HAS_ORBAX = False
+
+
+class CheckpointManager:
+    """Thin wrapper: save/restore the JointTrainState + metadata."""
+
+    def __init__(self, directory: str | os.PathLike, max_to_keep: int = 5):
+        self.directory = Path(directory).absolute()
+        self.directory.mkdir(parents=True, exist_ok=True)
+        if _HAS_ORBAX:
+            self._mgr = ocp.CheckpointManager(
+                self.directory,
+                options=ocp.CheckpointManagerOptions(
+                    max_to_keep=max_to_keep, create=True),
+            )
+        else:
+            self._mgr = None
+            self.max_to_keep = max_to_keep
+
+    # -- orbax path ------------------------------------------------------
+    def save(self, step: int, state: Any, metadata: dict | None = None,
+             wait: bool = False) -> None:
+        payload = {"state": state, "meta": metadata or {}}
+        if self._mgr is not None:
+            self._mgr.save(step, args=ocp.args.StandardSave(payload))
+            if wait:
+                self._mgr.wait_until_finished()
+            return
+        self._save_np(step, payload)
+
+    def latest_step(self) -> int | None:
+        if self._mgr is not None:
+            return self._mgr.latest_step()
+        steps = [int(p.stem.split("_")[-1])
+                 for p in self.directory.glob("ckpt_*.npz")]
+        return max(steps) if steps else None
+
+    def restore(self, step: int | None, target: Any,
+                metadata_like: dict | None = None) -> Any:
+        """Restore into the structure of ``target`` (a concrete state pytree
+        used as the shape/dtype template).  ``metadata_like`` must mirror the
+        metadata dict passed to ``save`` (numeric values only).
+        Returns {"state": ..., "meta": ...}."""
+        if step is None:
+            step = self.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint in {self.directory}")
+        payload_like = {"state": target, "meta": metadata_like or {}}
+        if self._mgr is not None:
+            abstract = jax.tree.map(
+                ocp.utils.to_shape_dtype_struct, payload_like)
+            return self._mgr.restore(
+                step, args=ocp.args.StandardRestore(abstract))
+        return self._restore_np(step, target)
+
+    def wait(self):
+        if self._mgr is not None:
+            self._mgr.wait_until_finished()
+
+    # -- numpy fallback (no orbax) --------------------------------------
+    def _save_np(self, step: int, payload: dict) -> None:
+        leaves, _ = jax.tree_util.tree_flatten(payload)
+        np.savez(self.directory / f"ckpt_{step:010d}.npz",
+                 **{f"leaf_{i}": np.asarray(x)
+                    for i, x in enumerate(leaves)})
+        kept = sorted(self.directory.glob("ckpt_*.npz"))
+        for old in kept[:-self.max_to_keep]:
+            old.unlink()
+
+    def _restore_np(self, step: int, target: Any) -> dict:
+        data = np.load(self.directory / f"ckpt_{step:010d}.npz",
+                       allow_pickle=True)
+        leaves = [data[f"leaf_{i}"] for i in range(
+            sum(1 for k in data.files if k.startswith("leaf_")))]
+        _, treedef = jax.tree_util.tree_flatten({"state": target, "meta": {}})
+        return jax.tree_util.tree_unflatten(treedef, leaves)

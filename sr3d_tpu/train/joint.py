@@ -1,0 +1,329 @@
+"""The joint SR-diffusion + MICA model as one compiled train step.
+
+TPU-first re-design of the reference ``ThreeDSuperResolutionModel``
+(reference: model/sr3d/model.py:441-533).  Where the reference runs a python
+loop over K×B samples with per-sample T-step reverse diffusion and host cv2
+round trips, here the whole joint forward — SR loss, scan-compiled sampling,
+on-device 224/112 resizes, ArcFace, shape regression, FLAME decode, masked
+vertex loss — is ONE jitted function over the full flattened batch.
+
+Variant semantics (reference model/sr3d/model.py:452-502 and SURVEY.md §3.1):
+
+* **model2**: SR sampling under ``stop_gradient`` + uint8 quantisation; the
+  MICA loss trains only the ArcFace tail + MappingNetwork.
+* **model3**: sampling stays differentiable (per-step remat,
+  reference p_sample_loop_learn diffusion.py:243-273) and the hand-off uses
+  the differentiable blob path, so ∂l_mica/∂θ_sr flows.  NOTE the reference
+  actually severs this gradient with ``.detach().requires_grad_()``
+  (model/sr3d/model.py:483-490 — SURVEY.md §7 "hard parts"); we implement the
+  *intended* semantics (gradient flows) and expose
+  ``sever_sr_grad=True`` to reproduce the reference's literal behavior.
+
+Two optimizers step on disjoint param partitions exactly like the reference
+(Adam on SR, AdamW param-groups on MICA — lib/trainer_temp.py:126-135,
+model/sr3d/model.py:333-339), expressed as one ``optax.multi_transform``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..diffusion.ema import EmaState, ema_init, ema_update
+from ..diffusion.gaussian import p_losses_continuous, p_sample_loop
+from ..diffusion.schedules import DiffusionSchedule, schedule_from_config
+from ..models import masking as masking_ops
+from ..models.arcface import IResNet
+from ..models.flame import FlameModel, flame_forward, synthetic_flame
+from ..models.mapping import MappingNetwork
+from ..models.sr3_unet import SR3UNet, unet_from_config
+from ..ops.image import sr_to_mica_inputs
+
+
+@dataclasses.dataclass(frozen=True)
+class JointModules:
+    """Static model bundle (hashable closure contents for jit)."""
+    unet: SR3UNet
+    arcface: IResNet
+    mapping: MappingNetwork
+    flame: FlameModel
+    vertex_weights: jax.Array          # [V,1]
+    sched_train: DiffusionSchedule
+    sched_val: DiffusionSchedule
+    variant: str = "model3"            # model2 | model3
+    sever_sr_grad: bool = False        # reproduce reference detach quirk
+    loss_type: str = "l1"
+    image_size: int = 224
+    blob_size: int = 112
+    sample_remat: bool = True
+
+
+class JointTrainState(NamedTuple):
+    step: jax.Array
+    params: Any                # {"sr", "arcface", "mapping"}
+    arcface_stats: Any         # BatchNorm running stats
+    opt_state: Any
+    ema: EmaState | None
+
+
+# --------------------------------------------------------------------------
+# construction
+# --------------------------------------------------------------------------
+
+def build_joint(cfg, flame: FlameModel | None = None,
+                masks: dict | None = None,
+                dtype=None) -> JointModules:
+    """Build all modules from a merged config tree.
+
+    Reference constructor path: model/sr3d/model.py:24-79 (+ base_model
+    mask-weight setup model/sr3d/base_model.py:100-130).
+    """
+    if dtype is None:
+        dtype = jnp.dtype(str(cfg.tpu.compute_dtype))
+    if flame is None:
+        fm_cfg = cfg.mica.model
+        try:
+            from ..models.flame import load_flame
+            flame = load_flame(fm_cfg.flame_model_path,
+                               fm_cfg.flame_lmk_embedding_path,
+                               n_shape=fm_cfg.n_shape)
+        except (FileNotFoundError, OSError):
+            flame = synthetic_flame(n_shape=fm_cfg.n_shape,
+                                    n_exp=fm_cfg.n_exp)
+    if masks is None:
+        try:
+            masks = masking_ops.load_masks(cfg.mica.model.masks_path)
+        except (FileNotFoundError, OSError):
+            masks = masking_ops.synthetic_masks(flame.n_vertices)
+    vw = masking_ops.weights_per_vertex(masks, cfg.mica.mask_weights,
+                                        flame.n_vertices)
+
+    unet = unet_from_config(cfg.sr.model.unet, cfg.sr.model.diffusion,
+                            dtype=dtype, remat=bool(cfg.tpu.train_remat))
+    arcface = IResNet(
+        layers=tuple(cfg.mica.model.get("arcface_layers", (3, 13, 30, 3))),
+        dtype=dtype)
+    mapping = MappingNetwork(
+        z_dim=512,
+        map_hidden_dim=cfg.mica.model.map_hidden_dim,
+        map_output_dim=cfg.mica.model.n_shape,
+        hidden=cfg.mica.model.mapping_layers)
+
+    return JointModules(
+        unet=unet, arcface=arcface, mapping=mapping, flame=flame,
+        vertex_weights=jnp.asarray(vw),
+        sched_train=schedule_from_config(cfg.sr.model.beta_schedule.train),
+        sched_val=schedule_from_config(cfg.sr.model.beta_schedule.val),
+        variant=str(cfg.model),
+        loss_type=str(cfg.sr.model.diffusion.get("loss", "l1")),
+        sample_remat=bool(cfg.tpu.sample_remat),
+    )
+
+
+def make_optimizer(cfg) -> optax.GradientTransformation:
+    """Adam on SR, AdamW param-groups on MICA (reference
+    lib/trainer_temp.py:126-135; arcface group lr model/sr3d/model.py:333-339),
+    with the StepLR decay both share (lr_update_step/lr_gamma)."""
+    def steplr(base_lr):
+        return optax.exponential_decay(
+            init_value=base_lr,
+            transition_steps=int(cfg.train.lr_update_step),
+            decay_rate=float(cfg.mica.train.lr_gamma),
+            staircase=True)
+
+    def param_labels(params):
+        from ..models.arcface import frozen_prefix_mask
+        af_labels = jax.tree.map(
+            lambda trainable: "arcface" if trainable else "frozen",
+            frozen_prefix_mask(params["arcface"]))
+        return {
+            "sr": jax.tree.map(lambda _: "sr", params["sr"]),
+            "arcface": af_labels,
+            "mapping": jax.tree.map(lambda _: "mapping", params["mapping"]),
+        }
+
+    return optax.multi_transform(
+        {
+            "sr": optax.adam(steplr(float(cfg.sr.train.optimizer.lr))),
+            "arcface": optax.adamw(
+                steplr(float(cfg.mica.train.arcface_lr)),
+                weight_decay=float(cfg.mica.train.weight_decay)),
+            "mapping": optax.adamw(
+                steplr(float(cfg.mica.train.lr)),
+                weight_decay=float(cfg.mica.train.weight_decay)),
+            # frozen ArcFace prefix: no updates
+            # (reference model/mica/arcface.py:171-176 freezer)
+            "frozen": optax.set_to_zero(),
+        },
+        param_labels=param_labels,
+    )
+
+
+def init_train_state(modules: JointModules, cfg, rng: jax.Array,
+                     hr_res: int) -> JointTrainState:
+    k1, k2, k3 = jax.random.split(rng, 3)
+    sr_params = modules.unet.init(
+        k1, jnp.zeros((1, hr_res, hr_res, modules.unet.in_channel)),
+        jnp.zeros((1, 1)))
+    af_vars = modules.arcface.init(
+        k2, jnp.zeros((1, modules.blob_size, modules.blob_size, 3)))
+    map_params = modules.mapping.init(k3, jnp.zeros((1, modules.mapping.z_dim)))
+
+    params = {"sr": sr_params, "arcface": af_vars["params"],
+              "mapping": map_params}
+    opt = make_optimizer(cfg)
+    ema_cfg = cfg.sr.train.ema_scheduler
+    ema = ema_init(sr_params) if ema_cfg else None
+    return JointTrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        arcface_stats=af_vars.get("batch_stats", {}),
+        opt_state=opt.init(params),
+        ema=ema,
+    )
+
+
+# --------------------------------------------------------------------------
+# forward pieces
+# --------------------------------------------------------------------------
+
+def _sr_denoise_fn(modules: JointModules, sr_params):
+    return lambda x, t: modules.unet.apply(sr_params, x, t)
+
+
+def encode_mica(modules: JointModules, params, arcface_stats, blob,
+                train: bool):
+    """ArcFace embed + L2-normalise (reference
+    model/sr3d/model.py:190-198 encode_mica → F.normalize)."""
+    variables = {"params": params["arcface"], "batch_stats": arcface_stats}
+    if train:
+        emb, updates = modules.arcface.apply(
+            variables, blob, train=True, mutable=["batch_stats"])
+        new_stats = updates["batch_stats"]
+    else:
+        emb = modules.arcface.apply(variables, blob)
+        new_stats = arcface_stats
+    emb = emb / jnp.linalg.norm(emb, axis=1, keepdims=True).clip(1e-12)
+    return emb, new_stats
+
+
+def decode_mica(modules: JointModules, params, embedding):
+    """embedding → shape code → canonical FLAME vertices (reference
+    Generator.forward model/mica/generator.py:83-91: shape-only decode)."""
+    code = modules.mapping.apply(params["mapping"], embedding)
+    verts, _, _ = flame_forward(modules.flame, code)
+    return verts, code
+
+
+def gt_flame_vertices(modules: JointModules, shape_params):
+    """GT canonical vertices from dataset FLAME params, no grad
+    (reference lib/MICA/micalib/models/mica.py:93-110 decode with
+    torch.no_grad)."""
+    verts, _, _ = flame_forward(modules.flame, shape_params)
+    return jax.lax.stop_gradient(verts)
+
+
+# --------------------------------------------------------------------------
+# train / val steps
+# --------------------------------------------------------------------------
+
+def make_train_step(modules: JointModules, opt: optax.GradientTransformation,
+                    ema_cfg: dict | None = None):
+    """Returns jittable ``train_step(state, batch, rng) -> (state, metrics)``.
+
+    batch (flattened K×B like reference preprocess_sr_data
+    model/sr3d/model.py:172-188): ``HR/SR [N,h,h,3]`` in [-1,1],
+    ``flame_shape [N,n_shape]``.
+    """
+    variant = modules.variant
+    differentiable = variant == "model3" and not modules.sever_sr_grad
+
+    def loss_fn(params, arcface_stats, batch, rng):
+        k_loss, k_sample = jax.random.split(rng)
+        hr, cond = batch["HR"], batch["SR"]
+        n = hr.size
+
+        denoise = _sr_denoise_fn(modules, params["sr"])
+        l_sr = p_losses_continuous(
+            denoise, modules.sched_train, hr, cond, k_loss,
+            loss_type=modules.loss_type) / n
+
+        # SR sampling for the MICA branch (reference SR3_training →
+        # super_resolution / super_resolution_learn, model/sr3d/model.py:351-366)
+        sample = p_sample_loop(
+            denoise, modules.sched_train, cond, k_sample,
+            differentiable=differentiable, remat=modules.sample_remat)
+        _, blob = sr_to_mica_inputs(
+            sample.final, image_size=modules.image_size,
+            blob_size=modules.blob_size,
+            differentiable=differentiable)
+
+        emb, new_stats = encode_mica(modules, params, arcface_stats, blob,
+                                     train=True)
+        pred_verts, code = decode_mica(modules, params, emb)
+        gt_verts = gt_flame_vertices(modules, batch["flame_shape"])
+        l_mica = masking_ops.masked_vertex_l1(
+            pred_verts, gt_verts, modules.vertex_weights)
+
+        total = l_sr + l_mica
+        aux = {"l_sr": l_sr, "l_mica": l_mica, "loss": total,
+               "new_stats": new_stats}
+        return total, aux
+
+    def train_step(state: JointTrainState, batch, rng):
+        (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, state.arcface_stats, batch, rng)
+        updates, new_opt = opt.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_ema = state.ema
+        if state.ema is not None and ema_cfg is not None:
+            new_ema = ema_update(
+                state.ema, new_params["sr"],
+                decay=float(ema_cfg["ema_decay"]),
+                step_start_ema=int(ema_cfg["step_start_ema"]),
+                update_every=int(ema_cfg["update_ema_every"]))
+        metrics = {k: aux[k] for k in ("l_sr", "l_mica", "loss")}
+        return JointTrainState(
+            step=state.step + 1,
+            params=new_params,
+            arcface_stats=aux["new_stats"],
+            opt_state=new_opt,
+            ema=new_ema,
+        ), metrics
+
+    return train_step
+
+
+def make_val_step(modules: JointModules, use_ema: bool = False):
+    """Returns jittable ``val_step(state, batch, rng) -> outputs`` mirroring
+    ``test_val`` (reference model/sr3d/model.py:368-439): full val-schedule
+    sampling, on-device PSNR inputs, MICA prediction + 68 landmarks."""
+
+    def val_step(state: JointTrainState, batch, rng):
+        sr_params = (state.ema.params if (use_ema and state.ema is not None)
+                     else state.params["sr"])
+        denoise = _sr_denoise_fn(modules, sr_params)
+        sample = p_sample_loop(denoise, modules.sched_val, batch["SR"], rng)
+        img224, blob = sr_to_mica_inputs(
+            sample.final, image_size=modules.image_size,
+            blob_size=modules.blob_size)
+        emb, _ = encode_mica(modules, state.params, state.arcface_stats,
+                             blob, train=False)
+        pred_verts, code = decode_mica(modules, state.params, emb)
+        from ..models.flame import compute_landmarks
+        lmk68 = compute_landmarks(modules.flame, pred_verts)
+        out = {"sr": sample.final, "img224": img224, "identity": code,
+               "verts": pred_verts, "lmk68": lmk68}
+        if "flame_shape" in batch:
+            gt_verts = gt_flame_vertices(modules, batch["flame_shape"])
+            out["l_mica"] = masking_ops.masked_vertex_l1(
+                pred_verts, gt_verts, modules.vertex_weights)
+        return out
+
+    return val_step

@@ -1,0 +1,231 @@
+"""Joint trainer: cadenced train/val loop over the compiled steps.
+
+Behavioral parity with the reference trainer (lib/trainer_temp.py:56-643):
+dataset build, optimizer setup, combined checkpoint save/auto-resume,
+log/vis/eval/checkpoint cadences, best-model tracking, val-phase PSNR/SSIM +
+mesh/landmark export — but the hot path is one jitted train step over the
+device mesh instead of a python loop over samples.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import data as data_lib
+from ..eval.export import export_prediction
+from ..eval.metrics import calculate_psnr, calculate_ssim
+from ..ops.image import tensor_to_uint8
+from ..parallel import mesh as mesh_lib
+from .checkpoint import CheckpointManager
+from .joint import (
+    JointModules,
+    JointTrainState,
+    build_joint,
+    init_train_state,
+    make_optimizer,
+    make_train_step,
+    make_val_step,
+)
+
+logger = logging.getLogger("sr3d_tpu")
+
+
+class BestModel:
+    """Running-average best-model tracker (reference
+    lib/MICA/utils/best_model.py:24-106, running N =
+    cfg.mica.running_average)."""
+
+    def __init__(self, n: int = 7):
+        self.n = n
+        self.history: list[float] = []
+        self.best: float = float("inf")
+
+    def __call__(self, value: float) -> bool:
+        self.history.append(value)
+        window = self.history[-self.n:]
+        avg = sum(window) / len(window)
+        if avg < self.best:
+            self.best = avg
+            return True
+        return False
+
+
+class Trainer:
+    def __init__(self, cfg, modules: JointModules | None = None):
+        self.cfg = cfg
+        self.device = jax.devices()[0].platform
+        self.output_dir = Path(cfg.output_dir) / (cfg.name or "default")
+        self.ckpt_dir = self.output_dir / cfg.path.checkpoint
+        self.output_dir.mkdir(parents=True, exist_ok=True)
+
+        self.modules = modules if modules is not None else build_joint(cfg)
+        self.mesh = mesh_lib.make_mesh(tuple(cfg.tpu.mesh_shape),
+                                       tuple(cfg.tpu.mesh_axis_names))
+        hr_res = int(cfg.sr.datasets.train.r_resolution)
+        self.hr_res = hr_res
+
+        self.opt = make_optimizer(cfg)
+        self.state = init_train_state(
+            self.modules, cfg, jax.random.PRNGKey(int(cfg.seed)), hr_res)
+        self.global_step = 0
+        self.epoch = 0
+
+        ema_cfg = (cfg.sr.train.ema_scheduler.to_dict()
+                   if cfg.sr.train.ema_scheduler else None)
+        self._train_step = jax.jit(
+            make_train_step(self.modules, self.opt, ema_cfg), donate_argnums=0)
+        self._val_step = jax.jit(make_val_step(self.modules))
+
+        self.ckpt = CheckpointManager(self.ckpt_dir)
+        self.best_model = BestModel(int(cfg.mica.running_average))
+        self._rng = jax.random.PRNGKey(int(cfg.seed) + 1)
+
+    # ------------------------------------------------------------------
+    def _next_rng(self) -> jax.Array:
+        self._rng, k = jax.random.split(self._rng)
+        return k
+
+    def load_checkpoint(self, path_or_step=None) -> bool:
+        """Auto-resume from latest (reference lib/trainer_temp.py:148-155) or
+        explicit step."""
+        try:
+            restored = self.ckpt.restore(
+                path_or_step, self.state,
+                metadata_like={"global_step": 0, "epoch": 0})
+        except FileNotFoundError:
+            return False
+        self.state = restored["state"]
+        self.global_step = int(restored["meta"]["global_step"])
+        self.epoch = int(restored["meta"]["epoch"])
+        logger.info("resumed from step %d", self.global_step)
+        return True
+
+    def save_checkpoint(self) -> None:
+        self.ckpt.save(self.global_step, self.state,
+                       metadata={"global_step": self.global_step,
+                                 "epoch": self.epoch})
+
+    # ------------------------------------------------------------------
+    def prepare_batch(self, raw: dict) -> dict:
+        """Flatten actor-K batches to [B*K, ...] (reference preprocess_sr_data
+        model/sr3d/model.py:172-188) and keep only jit inputs."""
+        out = {}
+        for key in ("HR", "SR", "LR", "flame_shape", "arcface", "image"):
+            if key in raw:
+                v = np.asarray(raw[key], np.float32)
+                if v.ndim == 5 or (key == "flame_shape" and v.ndim == 3):
+                    v = v.reshape((-1,) + v.shape[2:])  # [B,K,...] → [B*K,...]
+                out[key] = v
+        return out
+
+    def prepare_data(self):
+        cfg = self.cfg
+        if cfg.phase == "train":
+            ds = data_lib.build_train(cfg)
+            self.train_loader = data_lib.BatchLoader(
+                ds, batch_size=int(cfg.mica.datasets.batch_size),
+                shuffle=True, seed=int(cfg.seed),
+                num_workers=int(cfg.mica.datasets.num_workers))
+        val = data_lib.LRHRDataset(
+            dataroot=cfg.sr.datasets.val.dataroot,
+            l_resolution=int(cfg.sr.datasets.val.l_resolution),
+            r_resolution=int(cfg.sr.datasets.val.r_resolution),
+            split="val", data_len=int(cfg.sr.datasets.val.data_len),
+            need_LR=True)
+        self.val_loader = data_lib.BatchLoader(
+            val, batch_size=1, shuffle=False, num_workers=0, drop_last=False)
+
+    # ------------------------------------------------------------------
+    def training_step(self, max_steps: int | None = None):
+        cfg = self.cfg
+        n_iter = int(cfg.sr.train.n_iter) + int(cfg.mica.train.max_steps)
+        if max_steps is not None:
+            n_iter = min(n_iter, self.global_step + max_steps)
+        log_steps = int(cfg.train.log_steps)
+        ckpt_steps = int(cfg.train.checkpoint_steps)
+        eval_steps = int(cfg.train.eval_steps)
+
+        it = iter(self.train_loader)
+        t0 = time.time()
+        window = []
+        while self.global_step < n_iter:
+            raw = next(it)
+            batch = self.prepare_batch(raw)
+            jit_batch = {k: batch[k] for k in ("HR", "SR", "flame_shape")
+                         if k in batch}
+            self.state, metrics = self._train_step(
+                self.state, jit_batch, self._next_rng())
+            self.global_step += 1
+            window.append(metrics)
+
+            if self.global_step % log_steps == 0:
+                m = {k: float(np.mean([float(w[k]) for w in window]))
+                     for k in window[0]}
+                window.clear()
+                dt = time.time() - t0
+                t0 = time.time()
+                logger.info(
+                    "step %d | loss %.4f (sr %.4f mica %.4f) | %.2f s/it",
+                    self.global_step, m["loss"], m["l_sr"], m["l_mica"],
+                    dt / log_steps)
+            if self.global_step % ckpt_steps == 0:
+                self.save_checkpoint()
+            if self.global_step % eval_steps == 0:
+                self.evaluate()
+        self.save_checkpoint()
+        self.ckpt.wait()  # drain async orbax writes before returning
+
+    def evaluate(self) -> dict:
+        """Val loop: PSNR/SSIM on SR output + MICA exports (reference
+        lib/trainer_temp.py:432-461 and model/sr3d/model.py:368-439)."""
+        cfg = self.cfg
+        n_samples = int(cfg.sample)
+        psnrs, ssims = [], []
+        result_dir = self.output_dir / "results" / f"step_{self.global_step}"
+        for bi, raw in enumerate(self.val_loader.epoch()):
+            for k in range(n_samples):
+                out = self._val_step(self.state,
+                                     {"SR": np.asarray(raw["SR"], np.float32)},
+                                     self._next_rng())
+                sr_u8 = np.asarray(tensor_to_uint8(out["sr"]))[0]
+                hr_u8 = np.asarray(
+                    tensor_to_uint8(jnp.asarray(raw["HR"])))[0]
+                psnrs.append(calculate_psnr(sr_u8, hr_u8))
+                ssims.append(calculate_ssim(sr_u8, hr_u8))
+                if bi < int(cfg.train.val_n_img):
+                    dst = result_dir / f"{bi:04d}_{k}"
+                    export_prediction(
+                        dst, np.asarray(out["verts"][0]),
+                        np.asarray(self.modules.flame.faces),
+                        np.asarray(out["identity"][0]),
+                        np.asarray(out["lmk68"][0]))
+        res = {"psnr": float(np.mean(psnrs)) if psnrs else 0.0,
+               "ssim": float(np.mean(ssims)) if ssims else 0.0,
+               "step": self.global_step}
+        logger.info("val @%d: psnr %.3f ssim %.4f", self.global_step,
+                    res["psnr"], res["ssim"])
+        (self.output_dir / "val_metrics.jsonl").open("a").write(
+            json.dumps(res) + "\n")
+        if self.best_model(-res["psnr"]):
+            self.ckpt.save(self.global_step, self.state,
+                           metadata={"global_step": self.global_step,
+                                     "epoch": self.epoch})
+        return res
+
+    def fit(self, max_steps: int | None = None):
+        self.prepare_data()
+        if self.cfg.checkpoint:
+            self.load_checkpoint(self.cfg.checkpoint)
+        else:
+            self.load_checkpoint()
+        if self.cfg.phase == "train":
+            self.training_step(max_steps)
+        else:
+            self.evaluate()

@@ -1,0 +1,122 @@
+"""Data layer: synthetic roots, LRHR + joint datasets, loader, prep tool."""
+
+import numpy as np
+import pytest
+
+from sr3d_tpu.data import (
+    BatchLoader,
+    ConcatDataset,
+    JointFaceDataset,
+    LRHRDataset,
+)
+from sr3d_tpu.data.prepare import prepare
+from sr3d_tpu.data.synthetic import (
+    generate_synthetic_faces,
+    generate_synthetic_joint_root,
+    synthetic_face_batch,
+)
+
+
+@pytest.fixture(scope="module")
+def sr_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("srdata")
+    generate_synthetic_faces(root, n=6, l_res=8, r_res=16, seed=0)
+    return root
+
+
+@pytest.fixture(scope="module")
+def joint_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("jointdata")
+    generate_synthetic_joint_root(root, name="SYNTH", n_actors=3,
+                                  imgs_per_actor=4, img_res=64,
+                                  lr_res=8, hr_res=16, n_shape=16, n_exp=8)
+    return root
+
+
+def test_synthetic_batch_range_and_determinism():
+    a = synthetic_face_batch(2, 16, seed=3)
+    b = synthetic_face_batch(2, 16, seed=3)
+    np.testing.assert_array_equal(a, b)
+    assert a.shape == (2, 16, 16, 3)
+    assert a.min() >= -1.0 and a.max() <= 1.0
+
+
+def test_lrhr_dataset(sr_root):
+    ds = LRHRDataset(sr_root, l_resolution=8, r_resolution=16, need_LR=True)
+    assert len(ds) == 6
+    item = ds[0]
+    assert item["HR"].shape == (16, 16, 3)
+    assert item["SR"].shape == (16, 16, 3)
+    assert item["LR"].shape == (8, 8, 3)
+    assert item["HR"].min() >= -1.0 and item["HR"].max() <= 1.0
+    # SR is the bicubic re-upsample of LR: heavily correlated with HR
+    assert np.corrcoef(item["SR"].ravel(), item["HR"].ravel())[0, 1] > 0.8
+
+
+def test_lrhr_data_len_cap(sr_root):
+    ds = LRHRDataset(sr_root, l_resolution=8, r_resolution=16, data_len=3)
+    assert len(ds) == 3
+
+
+def test_lrhr_missing_dir_raises(tmp_path):
+    with pytest.raises(AssertionError):
+        LRHRDataset(tmp_path, l_resolution=8, r_resolution=16)
+
+
+def test_joint_dataset_item(joint_root):
+    ds = JointFaceDataset(joint_root, "SYNTH", K=2, lr_res=8, hr_res=16,
+                          n_shape=16, n_exp=8)
+    assert len(ds) == 3
+    item = ds[0]
+    assert item["image"].shape == (2, 64, 64, 3)
+    assert item["arcface"].shape == (2, 112, 112, 3)
+    assert item["HR"].shape == (2, 16, 16, 3)
+    assert item["flame_shape"].shape == (2, 16)
+    assert item["arcface"].min() >= -1.01 and item["arcface"].max() <= 1.01
+
+
+def test_joint_dataset_eval_mode_deterministic(joint_root):
+    ds = JointFaceDataset(joint_root, "SYNTH", K=2, lr_res=8, hr_res=16,
+                          n_shape=16, n_exp=8, is_train=False)
+    a, b = ds[1], ds[1]
+    np.testing.assert_array_equal(a["image"], b["image"])
+
+
+def test_batch_loader_shapes_and_drop_last(joint_root):
+    ds = JointFaceDataset(joint_root, "SYNTH", K=2, lr_res=8, hr_res=16,
+                          n_shape=16, n_exp=8)
+    loader = BatchLoader(ds, batch_size=2, num_workers=0)
+    assert len(loader) == 1  # 3 actors // 2
+    batch = next(iter(loader))
+    assert batch["HR"].shape == (2, 2, 16, 16, 3)  # [B,K,...]
+    assert batch["flame_shape"].shape == (2, 2, 16)
+
+
+def test_batch_loader_threaded_matches_sync(sr_root):
+    ds = LRHRDataset(sr_root, l_resolution=8, r_resolution=16)
+    sync = list(BatchLoader(ds, 2, shuffle=False, num_workers=0).epoch())
+    thr = list(BatchLoader(ds, 2, shuffle=False, num_workers=2).epoch())
+    assert len(sync) == len(thr) == 3
+    for a, b in zip(sync, thr):
+        np.testing.assert_array_equal(a["HR"], b["HR"])
+
+
+def test_concat_dataset(sr_root):
+    d1 = LRHRDataset(sr_root, 8, 16, data_len=2)
+    d2 = LRHRDataset(sr_root, 8, 16, data_len=3)
+    cat = ConcatDataset([d1, d2])
+    assert len(cat) == 5
+    np.testing.assert_array_equal(cat[2]["HR"], d2[0]["HR"])
+    np.testing.assert_array_equal(cat[4]["HR"], d2[2]["HR"])
+
+
+def test_prepare_tool(tmp_path, sr_root):
+    """The offline prep CLI reproduces the lr/hr/sr triplet layout
+    (reference datasets/tool/prepare_data.py)."""
+    out = tmp_path / "prep_out"
+    n = prepare(str(sr_root / "hr_16"), str(out), sizes=(8, 16), n_worker=0)
+    assert n == 6
+    for d in ("lr_8", "hr_16", "sr_8_16"):
+        assert len(list((out / d).glob("*.png"))) == 6
+    ds = LRHRDataset(out, l_resolution=8, r_resolution=16, need_LR=True)
+    assert len(ds) == 6

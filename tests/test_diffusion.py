@@ -1,0 +1,143 @@
+"""Diffusion core: q/p identities, loss, sampling loop, differentiability.
+
+Reference semantics: model/sr/sr3_modules/diffusion.py:93-318 and the
+discrete-t variant model/sr/ddpm_modules/diffusion.py.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sr3d_tpu.diffusion.gaussian import (
+    p_losses_continuous,
+    p_losses_discrete,
+    p_sample_loop,
+    predict_start_from_noise,
+    q_sample_discrete,
+    q_sample_gamma,
+    sample_continuous_gamma,
+)
+from sr3d_tpu.diffusion.schedules import make_schedule
+
+
+def test_q_sample_gamma_endpoints():
+    x0 = jnp.ones((2, 4, 4, 3))
+    noise = jnp.full((2, 4, 4, 3), 2.0)
+    # γ=1 → x0 exactly; γ=0 → pure noise
+    np.testing.assert_allclose(
+        np.asarray(q_sample_gamma(x0, jnp.ones((2,)), noise)), 1.0, rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(q_sample_gamma(x0, jnp.zeros((2,)), noise)), 2.0, rtol=1e-6)
+
+
+def test_q_sample_roundtrip_with_predict_start():
+    """predict_start_from_noise inverts q_sample_discrete exactly."""
+    s = make_schedule("linear", 20, 1e-4, 2e-2)
+    k = jax.random.PRNGKey(0)
+    x0 = jax.random.normal(k, (3, 8, 8, 3))
+    noise = jax.random.normal(jax.random.fold_in(k, 1), x0.shape)
+    for t in [0, 10, 19]:
+        xt = q_sample_discrete(x0, jnp.full((3,), t), s, noise)
+        x0_hat = predict_start_from_noise(s, xt, t, noise)
+        np.testing.assert_allclose(np.asarray(x0_hat), np.asarray(x0),
+                                   atol=1e-4)
+
+
+def test_gamma_distribution_in_range():
+    s = make_schedule("linear", 50, 1e-4, 2e-2)
+    t, g = sample_continuous_gamma(jax.random.PRNGKey(0), s, 4096,
+                                   per_sample_t=True)
+    g = np.asarray(g)
+    lo = np.asarray(s.sqrt_alphas_cumprod_prev)[np.asarray(t) - 1]
+    hi = np.asarray(s.sqrt_alphas_cumprod_prev)[np.asarray(t)]
+    assert np.all(g >= np.minimum(lo, hi) - 1e-6)
+    assert np.all(g <= np.maximum(lo, hi) + 1e-6)
+    # single-t mode: all elements share one t
+    t2, _ = sample_continuous_gamma(jax.random.PRNGKey(1), s, 64)
+    assert len(np.unique(np.asarray(t2))) == 1
+
+
+def test_p_losses_zero_for_perfect_denoiser():
+    """If the denoiser returns the exact injected noise, L1 loss is 0."""
+    s = make_schedule("linear", 20, 1e-4, 2e-2)
+    hr = jnp.zeros((2, 8, 8, 3))
+    cond = jnp.zeros((2, 8, 8, 3))
+    captured = {}
+
+    def oracle(net_in, gamma):
+        # x_noisy = γ·0 + sqrt(1-γ²)·ε  →  ε = x_noisy / sqrt(1-γ²)
+        x_noisy = net_in[..., 3:]
+        g = gamma.reshape(-1, 1, 1, 1)
+        return x_noisy / jnp.sqrt(1 - g ** 2)
+
+    loss = p_losses_continuous(oracle, s, hr, cond, jax.random.PRNGKey(0))
+    assert float(loss) < 1e-3
+
+
+def test_p_sample_loop_shapes_and_determinism(tiny_unet, tiny_schedule):
+    unet, params = tiny_unet
+    apply = lambda x, t: unet.apply(params, x, t)
+    cond = jnp.zeros((2, 16, 16, 3))
+    out1 = p_sample_loop(apply, tiny_schedule, cond, jax.random.PRNGKey(7))
+    out2 = p_sample_loop(apply, tiny_schedule, cond, jax.random.PRNGKey(7))
+    assert out1.final.shape == (2, 16, 16, 3)
+    np.testing.assert_array_equal(np.asarray(out1.final),
+                                  np.asarray(out2.final))
+    out3 = p_sample_loop(apply, tiny_schedule, cond, jax.random.PRNGKey(8))
+    assert not np.allclose(np.asarray(out1.final), np.asarray(out3.final))
+
+
+def test_p_sample_loop_intermediates(tiny_unet, tiny_schedule):
+    unet, params = tiny_unet
+    apply = lambda x, t: unet.apply(params, x, t)
+    cond = jnp.zeros((1, 16, 16, 3))
+    out = p_sample_loop(apply, tiny_schedule, cond, jax.random.PRNGKey(0),
+                        return_intermediates=True)
+    assert out.intermediates is not None
+    T = tiny_schedule.num_timesteps
+    sample_inter = 1 | (T // 10)
+    n_kept = (T + sample_inter - 1) // sample_inter
+    assert out.intermediates.shape == (n_kept, 1, 16, 16, 3)
+
+
+def test_differentiable_sampling_has_gradients(tiny_unet, tiny_schedule):
+    """model3 path: gradients flow through the full reverse loop
+    (reference p_sample_loop_learn, diffusion.py:243-273)."""
+    unet, params = tiny_unet
+    cond = jnp.ones((1, 16, 16, 3)) * 0.1
+
+    def loss_fn(p):
+        out = p_sample_loop(lambda x, t: unet.apply(p, x, t), tiny_schedule,
+                            cond, jax.random.PRNGKey(0), differentiable=True)
+        return jnp.mean(out.final ** 2)
+
+    grads = jax.grad(loss_fn)(params)
+    gnorm = jax.tree_util.tree_reduce(
+        lambda a, x: a + float(jnp.sum(jnp.abs(x))), grads, 0.0)
+    assert gnorm > 0.0
+
+    # non-differentiable path: gradient is exactly zero
+    def loss_fn_ng(p):
+        out = p_sample_loop(lambda x, t: unet.apply(p, x, t), tiny_schedule,
+                            cond, jax.random.PRNGKey(0), differentiable=False)
+        return jnp.mean(out.final ** 2)
+
+    grads_ng = jax.grad(loss_fn_ng)(params)
+    gnorm_ng = jax.tree_util.tree_reduce(
+        lambda a, x: a + float(jnp.sum(jnp.abs(x))), grads_ng, 0.0)
+    assert gnorm_ng == 0.0
+
+
+def test_discrete_loss_finite(tiny_unet):
+    unet, params = tiny_unet
+    s = make_schedule("linear", 20, 1e-4, 2e-2)
+    hr = jnp.zeros((2, 16, 16, 3))
+    cond = jnp.zeros((2, 16, 16, 3))
+
+    def apply_t(x, t):
+        # discrete variant conditions on integer t; reuse γ-UNet via lookup
+        g = s.sqrt_alphas_cumprod[t][:, None]
+        return unet.apply(params, x, g)
+
+    loss = p_losses_discrete(apply_t, s, hr, cond, jax.random.PRNGKey(0))
+    assert np.isfinite(float(loss))

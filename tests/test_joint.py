@@ -1,0 +1,161 @@
+"""Joint model: train/val step semantics for model2/model3.
+
+Reference behavior: model/sr3d/model.py:441-533 (forward), :280-325 (losses),
+lib/trainer_temp.py:309-334 (dual optimizer update).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sr3d_tpu.config.defaults import get_cfg_defaults
+from sr3d_tpu.train.joint import (
+    build_joint,
+    init_train_state,
+    make_optimizer,
+    make_train_step,
+    make_val_step,
+)
+
+
+def tiny_cfg(variant="model2"):
+    cfg = get_cfg_defaults()
+    cfg.model = variant
+    cfg.tpu.compute_dtype = "float32"
+    cfg.tpu.sample_remat = False
+    cfg.tpu.train_remat = False
+    cfg.sr.model.unet.inner_channel = 16
+    cfg.sr.model.unet.norm_groups = 8
+    cfg.sr.model.unet.channel_multiplier = [1, 2]
+    cfg.sr.model.unet.attn_res = [8]
+    cfg.sr.model.unet.res_blocks = 1
+    cfg.sr.model.unet.dropout = 0.0
+    cfg.sr.model.diffusion.image_size = 16
+    for ph in ("train", "val"):
+        cfg.sr.model.beta_schedule[ph].n_timestep = 8
+        cfg.sr.model.beta_schedule[ph].linear_start = 1e-4
+        cfg.sr.model.beta_schedule[ph].linear_end = 5e-2
+    cfg.mica.model.n_shape = 16
+    cfg.mica.model.n_exp = 8
+    cfg.mica.model.map_hidden_dim = 32
+    cfg.mica.model.arcface_layers = [1, 1, 1, 1]
+    return cfg
+
+
+def batch_of(n=2, hr=16, n_shape=16, seed=0):
+    rng = np.random.RandomState(seed)
+    return {
+        "HR": jnp.asarray(rng.uniform(-1, 1, (n, hr, hr, 3)), jnp.float32),
+        "SR": jnp.asarray(rng.uniform(-1, 1, (n, hr, hr, 3)), jnp.float32),
+        "flame_shape": jnp.asarray(rng.randn(n, n_shape) * 0.3, jnp.float32),
+    }
+
+
+@pytest.fixture(scope="module", params=["model2", "model3"])
+def joint_setup(request):
+    cfg = tiny_cfg(request.param)
+    modules = build_joint(cfg)
+    opt = make_optimizer(cfg)
+    state = init_train_state(modules, cfg, jax.random.PRNGKey(0), 16)
+    return cfg, modules, opt, state
+
+
+def test_train_step_runs_and_updates(joint_setup):
+    cfg, modules, opt, state = joint_setup
+    step = make_train_step(modules, opt)
+    new_state, metrics = step(state, batch_of(), jax.random.PRNGKey(1))
+    assert int(new_state.step) == 1
+    for k in ("l_sr", "l_mica", "loss"):
+        assert np.isfinite(float(metrics[k])), k
+    # params actually moved
+    old_leaves = jax.tree_util.tree_leaves(state.params)
+    new_leaves = jax.tree_util.tree_leaves(new_state.params)
+    assert any(not np.allclose(np.asarray(a), np.asarray(b))
+               for a, b in zip(old_leaves, new_leaves))
+
+
+def test_loss_partition_semantics():
+    """model2: l_mica must NOT produce grads on the UNet; model3 must."""
+    for variant, expect_sr_grad in [("model2", False), ("model3", True)]:
+        cfg = tiny_cfg(variant)
+        modules = build_joint(cfg)
+        state = init_train_state(modules, cfg, jax.random.PRNGKey(0), 16)
+        batch = batch_of()
+
+        from sr3d_tpu.diffusion.gaussian import p_sample_loop
+        from sr3d_tpu.models import masking as masking_ops
+        from sr3d_tpu.ops.image import sr_to_mica_inputs
+        from sr3d_tpu.train.joint import (
+            decode_mica,
+            encode_mica,
+            gt_flame_vertices,
+        )
+
+        differentiable = variant == "model3"
+
+        def l_mica_only(sr_params):
+            params = dict(state.params, sr=sr_params)
+            denoise = lambda x, t: modules.unet.apply(sr_params, x, t)
+            sample = p_sample_loop(denoise, modules.sched_train, batch["SR"],
+                                   jax.random.PRNGKey(0),
+                                   differentiable=differentiable, remat=False)
+            _, blob = sr_to_mica_inputs(sample.final,
+                                        differentiable=differentiable)
+            emb, _ = encode_mica(modules, params, state.arcface_stats, blob,
+                                 train=False)
+            pred, _ = decode_mica(modules, params, emb)
+            gt = gt_flame_vertices(modules, batch["flame_shape"])
+            return masking_ops.masked_vertex_l1(pred, gt,
+                                                modules.vertex_weights)
+
+        g = jax.grad(l_mica_only)(state.params["sr"])
+        gnorm = jax.tree_util.tree_reduce(
+            lambda a, x: a + float(jnp.sum(jnp.abs(x))), g, 0.0)
+        if expect_sr_grad:
+            assert gnorm > 0.0, "model3 must backprop l_mica into the UNet"
+        else:
+            assert gnorm == 0.0, "model2 must sever l_mica → UNet gradient"
+
+
+def test_mica_loss_zero_for_perfect_prediction():
+    cfg = tiny_cfg()
+    modules = build_joint(cfg)
+    from sr3d_tpu.models import masking as masking_ops
+    v = jnp.ones((2, modules.flame.n_vertices, 3))
+    assert float(masking_ops.masked_vertex_l1(
+        v, v, modules.vertex_weights)) == 0.0
+
+
+def test_mica_loss_scale_is_mm():
+    """1e-3 uniform vertex error × whole-weight 1 → loss ≈ 1.0 (mm scale,
+    reference model/sr3d/model.py:323 ×1000)."""
+    cfg = tiny_cfg()
+    cfg.mica.mask_weights = {"whole": 1.0}
+    modules = build_joint(cfg)
+    import numpy as np
+    v = jnp.zeros((1, modules.flame.n_vertices, 3))
+    loss = float(__import__("sr3d_tpu.models.masking",
+                            fromlist=["masked_vertex_l1"]).masked_vertex_l1(
+        v + 1e-3, v, jnp.ones((modules.flame.n_vertices, 1))))
+    assert loss == pytest.approx(1.0, rel=1e-4)
+
+
+def test_val_step_outputs(joint_setup):
+    cfg, modules, opt, state = joint_setup
+    val = make_val_step(modules)
+    out = val(state, batch_of(), jax.random.PRNGKey(0))
+    assert out["sr"].shape == (2, 16, 16, 3)
+    assert out["verts"].shape[0] == 2
+    assert out["lmk68"].shape == (2, 68, 3)
+    assert out["identity"].shape == (2, modules.flame.n_shape)
+    assert np.isfinite(float(out["l_mica"]))
+
+
+def test_train_step_jits(joint_setup):
+    cfg, modules, opt, state = joint_setup
+    step = jax.jit(make_train_step(modules, opt))
+    s1, m1 = step(state, batch_of(), jax.random.PRNGKey(1))
+    s2, m2 = step(s1, batch_of(seed=1), jax.random.PRNGKey(2))
+    assert int(s2.step) == 2
+    assert np.isfinite(float(m2["loss"]))
