@@ -1,0 +1,188 @@
+"""SRPK packed tensor store — Python bindings (ctypes) + pure-python fallback.
+
+The framework's LMDB replacement (SURVEY.md §2.6): fixed-shape tensors,
+mmap'd file, threaded C++ batch gather (native/srpk.cc).  The pure-python
+fallback reads the identical format via numpy memmap so the store works
+before `make -C native` has run; the C++ path is used when the shared
+library is present.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+from pathlib import Path
+
+import numpy as np
+
+_HEADER = 128
+_MAGIC = b"SRPK\x00\x00\x00\x01"
+_DTYPES = {0: np.uint8, 1: np.float32}
+_DTYPE_CODES = {np.dtype(np.uint8): 0, np.dtype(np.float32): 1}
+
+
+def _find_lib() -> ctypes.CDLL | None:
+    here = Path(__file__).resolve().parent.parent.parent / "native"
+    for cand in (here / "libsrpk.so", Path("libsrpk.so")):
+        if cand.exists():
+            lib = ctypes.CDLL(str(cand))
+            lib.srpk_open.restype = ctypes.c_void_p
+            lib.srpk_open.argtypes = [ctypes.c_char_p]
+            lib.srpk_close.argtypes = [ctypes.c_void_p]
+            lib.srpk_count.restype = ctypes.c_uint64
+            lib.srpk_count.argtypes = [ctypes.c_void_p]
+            lib.srpk_record_bytes.restype = ctypes.c_uint64
+            lib.srpk_record_bytes.argtypes = [ctypes.c_void_p]
+            lib.srpk_ndim.restype = ctypes.c_uint64
+            lib.srpk_ndim.argtypes = [ctypes.c_void_p]
+            lib.srpk_shape.argtypes = [ctypes.c_void_p,
+                                       ctypes.POINTER(ctypes.c_uint64)]
+            lib.srpk_dtype.restype = ctypes.c_uint32
+            lib.srpk_dtype.argtypes = [ctypes.c_void_p]
+            lib.srpk_read.restype = ctypes.c_int
+            lib.srpk_read.argtypes = [ctypes.c_void_p, ctypes.c_uint64,
+                                      ctypes.c_void_p]
+            lib.srpk_read_batch.restype = ctypes.c_int
+            lib.srpk_read_batch.argtypes = [
+                ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint64),
+                ctypes.c_uint64, ctypes.c_void_p, ctypes.c_int]
+            return lib
+    return None
+
+
+_LIB = _find_lib()
+
+
+def have_native() -> bool:
+    return _LIB is not None
+
+
+def pack(path: str | os.PathLike, arrays: np.ndarray) -> None:
+    """Write [N, ...] uint8/float32 tensors as an SRPK file (pure python —
+    packing is offline, reading is the hot path)."""
+    arrays = np.ascontiguousarray(arrays)
+    dtype = np.dtype(arrays.dtype)
+    if dtype not in _DTYPE_CODES:
+        raise TypeError(f"unsupported dtype {dtype}")
+    shape = arrays.shape[1:]
+    if len(shape) > 8:
+        raise ValueError("at most 8 record dims")
+    header = bytearray(_HEADER)
+    header[0:8] = _MAGIC
+    header[8:16] = np.uint64(arrays.shape[0]).tobytes()
+    header[16:24] = np.uint64(arrays[0].nbytes).tobytes()
+    header[24:32] = np.uint64(len(shape)).tobytes()
+    header[32:32 + 8 * len(shape)] = np.asarray(shape,
+                                                np.uint64).tobytes()
+    header[96:100] = np.uint32(_DTYPE_CODES[dtype]).tobytes()
+    with open(path, "wb") as f:
+        f.write(bytes(header))
+        f.write(arrays.tobytes())
+
+
+class SrpkReader:
+    """Random-access reader; `read_batch` is the per-step gather."""
+
+    def __init__(self, path: str | os.PathLike, threads: int = 4):
+        self.path = str(path)
+        self.threads = threads
+        self._handle = None
+        if _LIB is not None:
+            self._handle = _LIB.srpk_open(self.path.encode())
+            if not self._handle:
+                raise OSError(f"srpk_open failed: {path}")
+            self.count = int(_LIB.srpk_count(self._handle))
+            ndim = int(_LIB.srpk_ndim(self._handle))
+            shp = (ctypes.c_uint64 * 8)()
+            _LIB.srpk_shape(self._handle, shp)
+            self.shape = tuple(int(shp[i]) for i in range(ndim))
+            self.dtype = np.dtype(_DTYPES[int(_LIB.srpk_dtype(self._handle))])
+            self.record_bytes = int(_LIB.srpk_record_bytes(self._handle))
+        else:
+            with open(self.path, "rb") as f:
+                header = f.read(_HEADER)
+            if header[:8] != _MAGIC:
+                raise OSError(f"bad SRPK magic in {path}")
+            self.count = int(np.frombuffer(header, np.uint64, 1, 8)[0])
+            self.record_bytes = int(np.frombuffer(header, np.uint64, 1, 16)[0])
+            ndim = int(np.frombuffer(header, np.uint64, 1, 24)[0])
+            self.shape = tuple(
+                int(x) for x in np.frombuffer(header, np.uint64, ndim, 32))
+            self.dtype = np.dtype(
+                _DTYPES[int(np.frombuffer(header, np.uint32, 1, 96)[0])])
+            self._mm = np.memmap(self.path, dtype=self.dtype, mode="r",
+                                 offset=_HEADER,
+                                 shape=(self.count,) + self.shape)
+
+    def __len__(self) -> int:
+        return self.count
+
+    def read(self, idx: int) -> np.ndarray:
+        if self._handle is not None:
+            out = np.empty(self.shape, self.dtype)
+            rc = _LIB.srpk_read(self._handle, int(idx),
+                                out.ctypes.data_as(ctypes.c_void_p))
+            if rc != 0:
+                raise IndexError(idx)
+            return out
+        return np.array(self._mm[idx])
+
+    def read_batch(self, indices) -> np.ndarray:
+        indices = np.ascontiguousarray(indices, np.uint64)
+        n = len(indices)
+        out = np.empty((n,) + self.shape, self.dtype)
+        if self._handle is not None:
+            rc = _LIB.srpk_read_batch(
+                self._handle,
+                indices.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+                n, out.ctypes.data_as(ctypes.c_void_p), self.threads)
+            if rc != 0:
+                raise IndexError("index out of range in batch")
+            return out
+        out[:] = self._mm[indices.astype(np.int64)]
+        return out
+
+    def close(self) -> None:
+        if self._handle is not None:
+            _LIB.srpk_close(self._handle)
+            self._handle = None
+
+    def __del__(self):  # pragma: no cover
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+class SrpkImageDataset:
+    """LRHR-style dataset over three SRPK stores (hr/sr/[lr]) of uint8
+    images — the packed-store twin of LRHRDataset."""
+
+    def __init__(self, root: str | os.PathLike, l_res: int, r_res: int,
+                 need_LR: bool = False, threads: int = 4):
+        root = Path(root)
+        self.hr = SrpkReader(root / f"hr_{r_res}.srpk", threads)
+        self.sr = SrpkReader(root / f"sr_{l_res}_{r_res}.srpk", threads)
+        self.lr = (SrpkReader(root / f"lr_{l_res}.srpk", threads)
+                   if need_LR else None)
+        assert len(self.hr) == len(self.sr)
+
+    def __len__(self) -> int:
+        return len(self.hr)
+
+    def __getitem__(self, idx: int) -> dict:
+        to_m11 = lambda a: a.astype(np.float32) / 127.5 - 1.0
+        item = {"HR": to_m11(self.hr.read(idx)),
+                "SR": to_m11(self.sr.read(idx)), "Index": idx,
+                "path_sr": f"{self.sr.path}#{idx}"}
+        if self.lr is not None:
+            item["LR"] = to_m11(self.lr.read(idx))
+        return item
+
+    def read_batch(self, indices) -> dict:
+        to_m11 = lambda a: a.astype(np.float32) / 127.5 - 1.0
+        out = {"HR": to_m11(self.hr.read_batch(indices)),
+               "SR": to_m11(self.sr.read_batch(indices))}
+        if self.lr is not None:
+            out["LR"] = to_m11(self.lr.read_batch(indices))
+        return out

@@ -76,6 +76,26 @@ class FeatureWiseAffine(nn.Module):
         return x + h
 
 
+class GroupNormSwish(nn.Module):
+    """GroupNorm + Swish with the same param tree as ``nn.GroupNorm``
+    (scale/bias), dispatched to the fused pallas kernel on TPU
+    (sr3d_tpu.kernels.groupnorm_swish) and an XLA reference elsewhere."""
+    groups: int = 32
+    epsilon: float = 1e-5
+    use_pallas: bool | None = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        C = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (C,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (C,), jnp.float32)
+        from ..kernels.groupnorm_swish import fused_groupnorm_swish
+
+        return fused_groupnorm_swish(x, scale, bias, self.groups,
+                                     self.epsilon,
+                                     use_pallas=self.use_pallas)
+
+
 class ConvBlock(nn.Module):
     """GroupNorm → Swish → (Dropout) → Conv3×3 (reference ``Block``)."""
     dim_out: int
@@ -83,12 +103,13 @@ class ConvBlock(nn.Module):
     dropout: float = 0.0
     dtype: jnp.dtype = jnp.bfloat16
     deterministic: bool = True
+    use_pallas: bool | None = None
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        h = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5,
-                         dtype=jnp.float32, name="norm")(x)
-        h = swish(h).astype(self.dtype)
+        h = GroupNormSwish(self.groups, use_pallas=self.use_pallas,
+                           name="norm")(x)
+        h = h.astype(self.dtype)
         if self.dropout > 0.0:
             h = nn.Dropout(self.dropout, deterministic=self.deterministic)(h)
         h = nn.Conv(self.dim_out, (3, 3), padding=1, dtype=self.dtype,
@@ -130,22 +151,21 @@ class SelfAttention(nn.Module):
     groups: int = 32
     dtype: jnp.dtype = jnp.bfloat16
 
+    use_pallas: bool | None = None
+
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         B, H, W, C = x.shape
-        head_dim = C // self.n_head
         h = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5,
                          dtype=jnp.float32, name="norm")(x)
         qkv = nn.Conv(C * 3, (1, 1), use_bias=False, dtype=self.dtype,
                       name="qkv")(h.astype(self.dtype))
-        qkv = qkv.reshape(B, H * W, self.n_head, 3 * head_dim)
-        q, k, v = jnp.split(qkv, 3, axis=-1)  # [B, HW, n, d]
-        attn = jnp.einsum("bind,bjnd->bnij", q, k,
-                          preferred_element_type=jnp.float32)
-        attn = attn / math.sqrt(C)
-        attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
-        out = jnp.einsum("bnij,bjnd->bind", attn, v,
-                         preferred_element_type=jnp.float32)
+        qkv = qkv.reshape(B, H * W, 3 * C)
+        q, k, v = jnp.split(qkv, 3, axis=-1)  # [B, HW, C] (n_head=1 default)
+        from ..kernels.attention import fused_spatial_attention
+
+        out = fused_spatial_attention(q, k, v, channels=C,
+                                      use_pallas=self.use_pallas)
         out = out.reshape(B, H, W, C).astype(self.dtype)
         out = nn.Conv(C, (1, 1), dtype=self.dtype, name="out")(out)
         return out + x

@@ -1,0 +1,69 @@
+"""Mesh-parallel train and sampling steps.
+
+The distributed layer the reference never had (SURVEY.md §2.7: vestigial
+``nn.DataParallel`` only): a global ``Mesh`` with a ``data`` axis for batch
+parallelism (gradients reduced by the psum XLA inserts for sharded-batch jit)
+and a ``model`` axis reserved for sharding the widest UNet levels.  DCN is
+out of scope for the reference's capability envelope — single-slice ICI
+covers it; these helpers keep all collectives on ICI.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .mesh import DATA_AXIS
+
+
+def batch_pspec(tree) -> dict:
+    """PartitionSpec pytree: every array leaf sharded on dim 0 over data."""
+    return jax.tree.map(
+        lambda x: P(DATA_AXIS, *([None] * (np.ndim(x) - 1))), tree)
+
+
+def shard_params_replicated(mesh: Mesh, state):
+    return jax.device_put(state, NamedSharding(mesh, P()))
+
+
+def shard_batch_dp(mesh: Mesh, batch: dict) -> dict:
+    return {
+        k: jax.device_put(
+            v, NamedSharding(mesh, P(DATA_AXIS, *([None] * (np.ndim(v) - 1)))))
+        for k, v in batch.items()
+    }
+
+
+def pjit_train_step(train_step: Callable, mesh: Mesh,
+                    batch_example: dict, donate: bool = True):
+    """Compile ``train_step(state, batch, rng)`` over the mesh: state
+    replicated, batch data-sharded, outputs replicated.  The per-device batch
+    loss gradients are averaged by XLA's automatic psum insertion (no manual
+    collectives — SURVEY.md §2.7 design consequence)."""
+    repl = NamedSharding(mesh, P())
+    batch_sh = {
+        k: NamedSharding(mesh, P(DATA_AXIS, *([None] * (np.ndim(v) - 1))))
+        for k, v in batch_example.items()
+    }
+    return jax.jit(
+        train_step,
+        in_shardings=(repl, batch_sh, repl),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,) if donate else (),
+    )
+
+
+def pjit_sample(sample_fn: Callable, mesh: Mesh, cond_ndim: int = 4):
+    """Compile ``sample_fn(params, cond, rng) -> imgs`` with the conditioning
+    batch sharded over data — each device runs the full reverse scan on its
+    shard; zero cross-device traffic during the T-step loop."""
+    repl = NamedSharding(mesh, P())
+    cond_sh = NamedSharding(mesh, P(DATA_AXIS, *([None] * (cond_ndim - 1))))
+    return jax.jit(
+        sample_fn,
+        in_shardings=(repl, cond_sh, repl),
+        out_shardings=cond_sh,
+    )

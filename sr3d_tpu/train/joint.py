@@ -46,22 +46,41 @@ from ..models.sr3_unet import SR3UNet, unet_from_config
 from ..ops.image import sr_to_mica_inputs
 
 
+@jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class JointModules:
-    """Static model bundle (hashable closure contents for jit)."""
-    unet: SR3UNet
-    arcface: IResNet
-    mapping: MappingNetwork
+    """Model bundle, registered as a pytree: the flax module definitions and
+    scalar knobs are static metadata, while the FLAME buffers / schedule
+    arrays / vertex weights are array LEAVES.
+
+    Leaves (not static) matters operationally: these arrays are tens of MB
+    for the real FLAME model, and anything a jitted function closes over
+    becomes an HLO constant — which both bloats the program and overflows
+    the axon remote-compile request limit (HTTP 413, observed).  Pass
+    ``modules`` as a traced argument to the compiled steps instead.
+    """
     flame: FlameModel
     vertex_weights: jax.Array          # [V,1]
     sched_train: DiffusionSchedule
     sched_val: DiffusionSchedule
-    variant: str = "model3"            # model2 | model3
-    sever_sr_grad: bool = False        # reproduce reference detach quirk
-    loss_type: str = "l1"
-    image_size: int = 224
-    blob_size: int = 112
-    sample_remat: bool = True
+    unet: SR3UNet = dataclasses.field(metadata=dict(static=True),
+                                      default=None)
+    arcface: IResNet = dataclasses.field(metadata=dict(static=True),
+                                         default=None)
+    mapping: MappingNetwork = dataclasses.field(metadata=dict(static=True),
+                                                default=None)
+    variant: str = dataclasses.field(metadata=dict(static=True),
+                                     default="model3")
+    sever_sr_grad: bool = dataclasses.field(metadata=dict(static=True),
+                                            default=False)
+    loss_type: str = dataclasses.field(metadata=dict(static=True),
+                                       default="l1")
+    image_size: int = dataclasses.field(metadata=dict(static=True),
+                                        default=224)
+    blob_size: int = dataclasses.field(metadata=dict(static=True),
+                                       default=112)
+    sample_remat: bool = dataclasses.field(metadata=dict(static=True),
+                                           default=True)
 
 
 class JointTrainState(NamedTuple):
@@ -233,18 +252,20 @@ def gt_flame_vertices(modules: JointModules, shape_params):
 # train / val steps
 # --------------------------------------------------------------------------
 
-def make_train_step(modules: JointModules, opt: optax.GradientTransformation,
+def make_train_step(opt: optax.GradientTransformation,
                     ema_cfg: dict | None = None):
-    """Returns jittable ``train_step(state, batch, rng) -> (state, metrics)``.
+    """Returns jittable ``train_step(modules, state, batch, rng) ->
+    (state, metrics)``.  ``modules`` is a traced pytree argument — do NOT
+    close it into the jit (see JointModules docstring).
 
     batch (flattened K×B like reference preprocess_sr_data
     model/sr3d/model.py:172-188): ``HR/SR [N,h,h,3]`` in [-1,1],
     ``flame_shape [N,n_shape]``.
     """
-    variant = modules.variant
-    differentiable = variant == "model3" and not modules.sever_sr_grad
 
-    def loss_fn(params, arcface_stats, batch, rng):
+    def loss_fn(modules, params, arcface_stats, batch, rng):
+        differentiable = (modules.variant == "model3"
+                          and not modules.sever_sr_grad)
         k_loss, k_sample = jax.random.split(rng)
         hr, cond = batch["HR"], batch["SR"]
         n = hr.size
@@ -276,9 +297,11 @@ def make_train_step(modules: JointModules, opt: optax.GradientTransformation,
                "new_stats": new_stats}
         return total, aux
 
-    def train_step(state: JointTrainState, batch, rng):
-        (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, state.arcface_stats, batch, rng)
+    def train_step(modules: JointModules, state: JointTrainState, batch,
+                   rng):
+        (_, aux), grads = jax.value_and_grad(
+            loss_fn, argnums=1, has_aux=True)(
+            modules, state.params, state.arcface_stats, batch, rng)
         updates, new_opt = opt.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         new_ema = state.ema
@@ -300,12 +323,13 @@ def make_train_step(modules: JointModules, opt: optax.GradientTransformation,
     return train_step
 
 
-def make_val_step(modules: JointModules, use_ema: bool = False):
-    """Returns jittable ``val_step(state, batch, rng) -> outputs`` mirroring
-    ``test_val`` (reference model/sr3d/model.py:368-439): full val-schedule
-    sampling, on-device PSNR inputs, MICA prediction + 68 landmarks."""
+def make_val_step(use_ema: bool = False):
+    """Returns jittable ``val_step(modules, state, batch, rng) -> outputs``
+    mirroring ``test_val`` (reference model/sr3d/model.py:368-439): full
+    val-schedule sampling, on-device PSNR inputs, MICA prediction + 68
+    landmarks."""
 
-    def val_step(state: JointTrainState, batch, rng):
+    def val_step(modules: JointModules, state: JointTrainState, batch, rng):
         sr_params = (state.ema.params if (use_ema and state.ema is not None)
                      else state.params["sr"])
         denoise = _sr_denoise_fn(modules, sr_params)

@@ -1,0 +1,128 @@
+"""SR-only training mode — the functional equivalent of the reference's
+legacy ``DDPM`` wrapper (reference: model/sr/model.py:22-196:
+feed_data/optimize_parameters/test/sample, SR-only ``I{iter}_E{epoch}_gen.pth``
+checkpoints with auto-resume, finetune_norm param filtering).
+
+State is a pure pytree; the torch wrapper's mutable ``feed_data`` becomes a
+batch argument, ``optimize_parameters`` the jitted train step, ``test`` the
+jitted sampler.
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..diffusion.ema import EmaState, ema_init, ema_update
+from ..diffusion.gaussian import p_losses_continuous, p_losses_discrete, \
+    p_sample_loop
+from ..diffusion.schedules import DiffusionSchedule, schedule_from_config
+from ..models.networks import define_g
+
+
+class SRTrainState(NamedTuple):
+    step: jax.Array
+    params: Any
+    opt_state: Any
+    ema: EmaState | None
+
+
+class SRModel:
+    """SR diffusion branch with its own optimizer/checkpoints."""
+
+    def __init__(self, cfg, dtype=jnp.bfloat16):
+        self.cfg = cfg
+        self.unet, self.time_input = define_g(
+            cfg.sr.model, dtype=dtype, remat=bool(cfg.tpu.train_remat))
+        self.sched_train = schedule_from_config(cfg.sr.model.beta_schedule.train)
+        self.sched_val = schedule_from_config(cfg.sr.model.beta_schedule.val)
+        self.loss_type = str(cfg.sr.model.diffusion.get("loss", "l1"))
+        self.conditional = bool(cfg.sr.model.diffusion.get("conditional",
+                                                           True))
+        self.hr_res = int(cfg.sr.model.diffusion.image_size)
+        self.sample_remat = bool(cfg.tpu.sample_remat)
+
+        lr = float(cfg.sr.train.optimizer.lr)
+        if bool(cfg.sr.model.get("finetune_norm", False)):
+            # reference finetune_norm freezes all but 'transformer' params
+            # (model/sr/model.py:39-48); in this UNet that means the
+            # attention blocks — mask everything else.
+            def label(params):
+                def walk(tree, in_attn):
+                    if isinstance(tree, dict):
+                        return {k: walk(v, in_attn or k == "attn")
+                                for k, v in tree.items()}
+                    return "train" if in_attn else "frozen"
+                return walk(params, False)
+            self.opt = optax.multi_transform(
+                {"train": optax.adam(lr), "frozen": optax.set_to_zero()},
+                param_labels=label)
+        else:
+            self.opt = optax.adam(lr)
+
+        ema_cfg = cfg.sr.train.get("ema_scheduler")
+        self.ema_cfg = dict(ema_cfg) if ema_cfg else None
+
+    def init_state(self, rng: jax.Array) -> SRTrainState:
+        in_ch = int(self.cfg.sr.model.unet.in_channel)
+        t0 = (jnp.zeros((1, 1)) if self.time_input == "gamma"
+              else jnp.zeros((1,), jnp.int32))
+        params = self.unet.init(
+            rng, jnp.zeros((1, self.hr_res, self.hr_res, in_ch)), t0)
+        return SRTrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            opt_state=self.opt.init(params),
+            ema=ema_init(params) if self.ema_cfg else None)
+
+    # -- compiled steps --------------------------------------------------
+
+    def make_train_step(self):
+        def train_step(state: SRTrainState, batch, rng):
+            def loss_fn(params):
+                denoise = lambda x, t: self.unet.apply(params, x, t)
+                cond = batch["SR"] if self.conditional else None
+                if self.time_input == "gamma":
+                    l = p_losses_continuous(denoise, self.sched_train,
+                                            batch["HR"], cond, rng,
+                                            loss_type=self.loss_type)
+                else:
+                    l = p_losses_discrete(denoise, self.sched_train,
+                                          batch["HR"], cond, rng,
+                                          loss_type=self.loss_type)
+                return l / batch["HR"].size  # reference divides by b*c*h*w
+
+            loss, grads = jax.value_and_grad(loss_fn)(state.params)
+            updates, opt_state = self.opt.update(grads, state.opt_state,
+                                                 state.params)
+            params = optax.apply_updates(state.params, updates)
+            ema = state.ema
+            if ema is not None:
+                ema = ema_update(
+                    ema, params,
+                    decay=float(self.ema_cfg["ema_decay"]),
+                    step_start_ema=int(self.ema_cfg["step_start_ema"]),
+                    update_every=int(self.ema_cfg["update_ema_every"]))
+            return SRTrainState(state.step + 1, params, opt_state, ema), \
+                {"l_pix": loss}
+
+        return train_step
+
+    def make_sampler(self, use_ema: bool = False, continuous: bool = False):
+        def sample(state: SRTrainState, cond, rng):
+            params = (state.ema.params
+                      if (use_ema and state.ema is not None)
+                      else state.params)
+            denoise = lambda x, t: self.unet.apply(params, x, t)
+            out = p_sample_loop(
+                denoise, self.sched_val, cond, rng,
+                conditional=self.conditional,
+                remat=self.sample_remat,
+                return_intermediates=continuous,
+                time_input=self.time_input)
+            return out.intermediates if continuous else out.final
+
+        return sample

@@ -79,13 +79,21 @@ class Trainer:
 
         ema_cfg = (cfg.sr.train.ema_scheduler.to_dict()
                    if cfg.sr.train.ema_scheduler else None)
+        # modules is a traced pytree arg (never closed over — its FLAME
+        # buffers would become giant HLO constants); state (argnum 1) donated
         self._train_step = jax.jit(
-            make_train_step(self.modules, self.opt, ema_cfg), donate_argnums=0)
-        self._val_step = jax.jit(make_val_step(self.modules))
+            make_train_step(self.opt, ema_cfg), donate_argnums=1)
+        self._val_step = jax.jit(make_val_step())
 
         self.ckpt = CheckpointManager(self.ckpt_dir)
         self.best_model = BestModel(int(cfg.mica.running_average))
         self._rng = jax.random.PRNGKey(int(cfg.seed) + 1)
+
+        from ..utils.logging import MetricsWriter
+        self.metrics_writer = MetricsWriter(
+            self.output_dir / cfg.path.log,
+            enable_wandb=bool(cfg.enable_wandb),
+            wandb_cfg=dict(cfg.wandb) if cfg.enable_wandb else None)
 
     # ------------------------------------------------------------------
     def _next_rng(self) -> jax.Array:
@@ -161,7 +169,7 @@ class Trainer:
             jit_batch = {k: batch[k] for k in ("HR", "SR", "flame_shape")
                          if k in batch}
             self.state, metrics = self._train_step(
-                self.state, jit_batch, self._next_rng())
+                self.modules, self.state, jit_batch, self._next_rng())
             self.global_step += 1
             window.append(metrics)
 
@@ -175,6 +183,10 @@ class Trainer:
                     "step %d | loss %.4f (sr %.4f mica %.4f) | %.2f s/it",
                     self.global_step, m["loss"], m["l_sr"], m["l_mica"],
                     dt / log_steps)
+                self.metrics_writer.add_scalars(m, self.global_step,
+                                                prefix="train/")
+                self.metrics_writer.add_scalar(
+                    "train/sec_per_it", dt / log_steps, self.global_step)
             if self.global_step % ckpt_steps == 0:
                 self.save_checkpoint()
             if self.global_step % eval_steps == 0:
@@ -188,10 +200,11 @@ class Trainer:
         cfg = self.cfg
         n_samples = int(cfg.sample)
         psnrs, ssims = [], []
+        last_verts = None
         result_dir = self.output_dir / "results" / f"step_{self.global_step}"
         for bi, raw in enumerate(self.val_loader.epoch()):
             for k in range(n_samples):
-                out = self._val_step(self.state,
+                out = self._val_step(self.modules, self.state,
                                      {"SR": np.asarray(raw["SR"], np.float32)},
                                      self._next_rng())
                 sr_u8 = np.asarray(tensor_to_uint8(out["sr"]))[0]
@@ -199,6 +212,7 @@ class Trainer:
                     tensor_to_uint8(jnp.asarray(raw["HR"])))[0]
                 psnrs.append(calculate_psnr(sr_u8, hr_u8))
                 ssims.append(calculate_ssim(sr_u8, hr_u8))
+                last_verts = np.asarray(out["verts"])
                 if bi < int(cfg.train.val_n_img):
                     dst = result_dir / f"{bi:04d}_{k}"
                     export_prediction(
@@ -213,6 +227,22 @@ class Trainer:
                     res["psnr"], res["ssim"])
         (self.output_dir / "val_metrics.jsonl").open("a").write(
             json.dumps(res) + "\n")
+        self.metrics_writer.add_scalar("val/psnr", res["psnr"],
+                                       self.global_step)
+        self.metrics_writer.add_scalar("val/ssim", res["ssim"],
+                                       self.global_step)
+        if last_verts is not None:
+            try:
+                from ..eval.renderer import render_meshes, visualize_grid
+
+                imgs = np.asarray(render_meshes(
+                    last_verts[:4], self.modules.flame.faces,
+                    image_size=256))
+                self.metrics_writer.add_image(
+                    "val/pred_meshes", visualize_grid(imgs),
+                    self.global_step)
+            except Exception:
+                logger.exception("mesh visualization failed")
         if self.best_model(-res["psnr"]):
             self.ckpt.save(self.global_step, self.state,
                            metadata={"global_step": self.global_step,

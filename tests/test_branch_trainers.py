@@ -1,0 +1,198 @@
+"""SR-only / MICA-only trainers, Validator, NoW tester harness."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sr3d_tpu.config.defaults import get_cfg_defaults
+
+
+def tiny_cfg():
+    cfg = get_cfg_defaults()
+    cfg.tpu.compute_dtype = "float32"
+    cfg.tpu.sample_remat = False
+    cfg.tpu.train_remat = False
+    cfg.sr.model.unet.inner_channel = 16
+    cfg.sr.model.unet.norm_groups = 8
+    cfg.sr.model.unet.channel_multiplier = [1, 2]
+    cfg.sr.model.unet.attn_res = [8]
+    cfg.sr.model.unet.res_blocks = 1
+    cfg.sr.model.unet.dropout = 0.0
+    cfg.sr.model.diffusion.image_size = 16
+    for ph in ("train", "val"):
+        cfg.sr.model.beta_schedule[ph].n_timestep = 8
+    cfg.mica.model.n_shape = 16
+    cfg.mica.model.n_exp = 8
+    cfg.mica.model.map_hidden_dim = 32
+    cfg.mica.model.arcface_layers = [1, 1, 1, 1]
+    return cfg
+
+
+@pytest.fixture(scope="module")
+def sr_model():
+    from sr3d_tpu.train.sr_only import SRModel
+
+    cfg = tiny_cfg()
+    m = SRModel(cfg, dtype=jnp.float32)
+    state = m.init_state(jax.random.PRNGKey(0))
+    return m, state
+
+
+def test_sr_only_train_and_sample(sr_model):
+    m, state = sr_model
+    step = jax.jit(m.make_train_step())
+    batch = {"HR": jnp.zeros((2, 16, 16, 3)), "SR": jnp.zeros((2, 16, 16, 3))}
+    s1, metrics = step(state, batch, jax.random.PRNGKey(1))
+    assert int(s1.step) == 1 and np.isfinite(float(metrics["l_pix"]))
+    sample = jax.jit(m.make_sampler())
+    out = sample(s1, jnp.zeros((2, 16, 16, 3)), jax.random.PRNGKey(2))
+    assert out.shape == (2, 16, 16, 3)
+
+
+def test_sr_only_ema_tracks(sr_model):
+    m, state = sr_model
+    assert state.ema is not None
+    step = m.make_train_step()
+    s1, _ = step(state, {"HR": jnp.zeros((1, 16, 16, 3)),
+                         "SR": jnp.zeros((1, 16, 16, 3))},
+                 jax.random.PRNGKey(0))
+    assert int(s1.ema.step) == 1
+
+
+def test_sr_only_continuous_trajectory(sr_model):
+    m, state = sr_model
+    sample = m.make_sampler(continuous=True)
+    out = sample(state, jnp.zeros((1, 16, 16, 3)), jax.random.PRNGKey(0))
+    assert out.ndim == 5 and out.shape[1:] == (1, 16, 16, 3)
+
+
+def test_sr_only_finetune_norm_freezes_non_attention():
+    from sr3d_tpu.train.sr_only import SRModel
+
+    cfg = tiny_cfg()
+    cfg.sr.model.finetune_norm = True
+    m = SRModel(cfg, dtype=jnp.float32)
+    state = m.init_state(jax.random.PRNGKey(0))
+    step = m.make_train_step()
+    s1, _ = step(state, {"HR": jnp.ones((1, 16, 16, 3)) * .5,
+                         "SR": jnp.zeros((1, 16, 16, 3))},
+                 jax.random.PRNGKey(3))
+
+    def subtree_changed(path_key):
+        old = state.params["params"][path_key]
+        new = s1.params["params"][path_key]
+        return any(not np.allclose(np.asarray(a), np.asarray(b))
+                   for a, b in zip(jax.tree_util.tree_leaves(old),
+                                   jax.tree_util.tree_leaves(new)))
+
+    assert not subtree_changed("conv_in")          # frozen
+    # attention lives at attn_res=8 blocks: down_1_0.attn etc.
+    changed_attn = any(
+        subtree_changed(k) for k in s1.params["params"]
+        if "down" in k or "mid" in k or "up" in k)
+    assert changed_attn  # at least the attn params moved
+
+
+@pytest.fixture(scope="module")
+def mica_setup():
+    from sr3d_tpu.train.joint import build_joint
+    from sr3d_tpu.train.mica_only import (
+        init_mica_state,
+        make_mica_optimizer,
+        make_mica_predict,
+        make_mica_train_step,
+    )
+
+    cfg = tiny_cfg()
+    modules = build_joint(cfg)
+    opt = make_mica_optimizer(cfg)
+    state = init_mica_state(modules, cfg, jax.random.PRNGKey(0), opt)
+    return cfg, modules, opt, state
+
+
+def mica_batch(n=4, n_shape=16, seed=0):
+    rng = np.random.RandomState(seed)
+    return {"arcface": jnp.asarray(
+        rng.uniform(-1, 1, (n, 112, 112, 3)), jnp.float32),
+        "flame_shape": jnp.asarray(rng.randn(n, n_shape) * .3, jnp.float32)}
+
+
+def test_mica_only_train_step(mica_setup):
+    from sr3d_tpu.train.mica_only import make_mica_train_step
+
+    cfg, modules, opt, state = mica_setup
+    step = jax.jit(make_mica_train_step(opt))
+    s1, m = step(modules, state, mica_batch(), jax.random.PRNGKey(1))
+    assert int(s1.step) == 1 and np.isfinite(float(m["loss"]))
+    s2, m2 = step(modules, s1, mica_batch(seed=1), jax.random.PRNGKey(2))
+    assert int(s2.step) == 2
+
+
+def test_mica_predict_and_validator(mica_setup, tmp_path):
+    from sr3d_tpu.eval.validator import Validator
+    from sr3d_tpu.train.mica_only import make_mica_predict
+    from sr3d_tpu.train.trainer import BestModel
+
+    cfg, modules, opt, state = mica_setup
+    predict = jax.jit(make_mica_predict())
+
+    class FakeDs:
+        def __len__(self):
+            return 2
+
+        def __getitem__(self, i):
+            b = mica_batch(n=2, seed=i)
+            return {"arcface": np.asarray(b["arcface"]),
+                    "flame_shape": np.asarray(b["flame_shape"])}
+
+    v = Validator(modules, predict, {"SYNTH": FakeDs()},
+                  best_model=BestModel(3), render_n=2)
+    res = v.run(state)
+    assert np.isfinite(res["loss"])
+    assert "SYNTH" in res["per_dataset"]
+    assert res["improved"] is True  # first run always improves
+    assert "render_grid" in res
+
+
+def test_tester_export_and_now_metric(mica_setup, tmp_path):
+    from PIL import Image
+
+    from sr3d_tpu.eval.export import read_obj
+    from sr3d_tpu.eval.tester import Tester, now_distance, rigid_align_7
+    from sr3d_tpu.train.mica_only import make_mica_predict
+
+    cfg, modules, opt, state = mica_setup
+    predict = jax.jit(make_mica_predict())
+
+    # benchmark image tree
+    img_root = tmp_path / "now_imgs"
+    (img_root / "subjectA").mkdir(parents=True)
+    rng = np.random.RandomState(0)
+    for i in range(2):
+        Image.fromarray(rng.randint(0, 255, (140, 120, 3), dtype=np.uint8)
+                        ).save(img_root / "subjectA" / f"{i}.jpg")
+
+    t = Tester(modules, predict, cache_path=str(tmp_path / "cache.npz"))
+    n = t.run(state, img_root, tmp_path / "preds", batch=2)
+    assert n == 2
+    pred_dirs = sorted((tmp_path / "preds").iterdir())
+    assert len(pred_dirs) == 2
+    verts, faces = read_obj(pred_dirs[0] / "mesh.obj")
+    assert verts.shape[1] == 3 and faces.shape[1] == 3
+    # second run uses the cache
+    assert t.run(state, img_root, tmp_path / "preds2", batch=2) == 2
+
+    # NoW metric: identical mesh under a known similarity transform → ~0 err
+    pv = np.asarray(verts)
+    lmk7 = np.load(pred_dirs[0] / "kpt7.npy")
+    s, ang = 1.3, 0.4
+    R = np.array([[np.cos(ang), -np.sin(ang), 0],
+                  [np.sin(ang), np.cos(ang), 0], [0, 0, 1.0]])
+    scan = (s * (R @ pv.T)).T + np.array([5.0, -3.0, 2.0])
+    scan7 = (s * (R @ lmk7.T)).T + np.array([5.0, -3.0, 2.0])
+    d = now_distance(pv, lmk7, scan, scan7)
+    assert d["mean"] < 1e-3
+
+    ss, RR, tt = rigid_align_7(lmk7, scan7)
+    assert ss == pytest.approx(s, rel=1e-4)

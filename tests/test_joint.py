@@ -63,8 +63,8 @@ def joint_setup(request):
 
 def test_train_step_runs_and_updates(joint_setup):
     cfg, modules, opt, state = joint_setup
-    step = make_train_step(modules, opt)
-    new_state, metrics = step(state, batch_of(), jax.random.PRNGKey(1))
+    step = make_train_step(opt)
+    new_state, metrics = step(modules, state, batch_of(), jax.random.PRNGKey(1))
     assert int(new_state.step) == 1
     for k in ("l_sr", "l_mica", "loss"):
         assert np.isfinite(float(metrics[k])), k
@@ -143,8 +143,8 @@ def test_mica_loss_scale_is_mm():
 
 def test_val_step_outputs(joint_setup):
     cfg, modules, opt, state = joint_setup
-    val = make_val_step(modules)
-    out = val(state, batch_of(), jax.random.PRNGKey(0))
+    val = make_val_step()
+    out = val(modules, state, batch_of(), jax.random.PRNGKey(0))
     assert out["sr"].shape == (2, 16, 16, 3)
     assert out["verts"].shape[0] == 2
     assert out["lmk68"].shape == (2, 68, 3)
@@ -154,8 +154,8 @@ def test_val_step_outputs(joint_setup):
 
 def test_train_step_jits(joint_setup):
     cfg, modules, opt, state = joint_setup
-    step = jax.jit(make_train_step(modules, opt))
-    s1, m1 = step(state, batch_of(), jax.random.PRNGKey(1))
-    s2, m2 = step(s1, batch_of(seed=1), jax.random.PRNGKey(2))
+    step = jax.jit(make_train_step(opt))
+    s1, m1 = step(modules, state, batch_of(), jax.random.PRNGKey(1))
+    s2, m2 = step(modules, s1, batch_of(seed=1), jax.random.PRNGKey(2))
     assert int(s2.step) == 2
     assert np.isfinite(float(m2["loss"]))

@@ -1,0 +1,110 @@
+"""Pallas kernel correctness: XLA reference vs flax ops, and pallas
+(interpret mode on CPU) vs reference."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from flax import linen as nn
+
+from sr3d_tpu.kernels.attention import (
+    _attn_pallas,
+    fused_spatial_attention,
+    spatial_attention_reference,
+)
+from sr3d_tpu.kernels.groupnorm_swish import (
+    _gn_swish_pallas,
+    fused_groupnorm_swish,
+    groupnorm_swish_reference,
+)
+
+
+@pytest.fixture(scope="module")
+def gn_inputs():
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 8, 8, 32), jnp.float32)
+    gamma = jnp.asarray(rng.rand(32) + 0.5, jnp.float32)
+    beta = jnp.asarray(rng.randn(32) * 0.1, jnp.float32)
+    return x, gamma, beta
+
+
+def test_gn_swish_reference_matches_flax(gn_inputs):
+    x, gamma, beta = gn_inputs
+    ours = groupnorm_swish_reference(x, gamma, beta, num_groups=8)
+
+    gn = nn.GroupNorm(num_groups=8, epsilon=1e-5, dtype=jnp.float32)
+    params = {"params": {"scale": gamma, "bias": beta}}
+    flax_out = gn.apply(params, x)
+    flax_out = flax_out * jax.nn.sigmoid(flax_out)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(flax_out),
+                               atol=2e-5)
+
+
+def test_gn_swish_pallas_interpret_matches_reference(gn_inputs):
+    x, gamma, beta = gn_inputs
+    ref = groupnorm_swish_reference(x, gamma, beta, num_groups=8)
+    from jax.experimental.pallas import tpu as pltpu
+
+    with pltpu.force_tpu_interpret_mode():
+        pal = _gn_swish_pallas(x, gamma, beta, 8, 1e-5)
+    np.testing.assert_allclose(np.asarray(pal), np.asarray(ref), atol=2e-5)
+
+
+def test_gn_swish_dispatcher_cpu_uses_reference(gn_inputs):
+    x, gamma, beta = gn_inputs
+    out = fused_groupnorm_swish(x, gamma, beta, num_groups=8)
+    ref = groupnorm_swish_reference(x, gamma, beta, num_groups=8)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_attention_reference_matches_unet_einsum():
+    """The fused op must reproduce the reference einsum attention exactly
+    (scale 1/sqrt(C) over full channels, model/sr/sr3_modules/unet.py:132-139)."""
+    rng = np.random.RandomState(1)
+    q = jnp.asarray(rng.randn(2, 16, 32), jnp.float32)
+    k = jnp.asarray(rng.randn(2, 16, 32), jnp.float32)
+    v = jnp.asarray(rng.randn(2, 16, 32), jnp.float32)
+
+    ours = spatial_attention_reference(q, k, v, scale=1.0 / np.sqrt(32))
+    attn = jnp.einsum("bic,bjc->bij", q, k) / np.sqrt(32)
+    attn = jax.nn.softmax(attn, -1)
+    manual = jnp.einsum("bij,bjc->bic", attn, v)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(manual),
+                               atol=1e-5)
+
+
+def test_attention_pallas_interpret_matches_reference():
+    rng = np.random.RandomState(2)
+    q = jnp.asarray(rng.randn(2, 64, 128), jnp.float32)
+    k = jnp.asarray(rng.randn(2, 64, 128), jnp.float32)
+    v = jnp.asarray(rng.randn(2, 64, 128), jnp.float32)
+    ref = spatial_attention_reference(q, k, v, 1.0 / np.sqrt(128))
+    from jax.experimental.pallas import tpu as pltpu
+
+    with pltpu.force_tpu_interpret_mode():
+        pal = _attn_pallas(q, k, v, 1.0 / float(np.sqrt(128)))
+    np.testing.assert_allclose(np.asarray(pal), np.asarray(ref), atol=1e-5)
+
+
+def test_unet_forward_unchanged_after_kernel_wiring(tiny_unet):
+    """The kernel-wired UNet still produces finite, shape-correct output and
+    GroupNormSwish keeps the nn.GroupNorm param tree (scale/bias under
+    'norm') so checkpoints stay compatible."""
+    unet, params = tiny_unet
+    p = params["params"]
+    assert "scale" in p["down_0_0"]["res_block"]["block1"]["norm"]
+    assert "bias" in p["down_0_0"]["res_block"]["block1"]["norm"]
+    out = unet.apply(params, jnp.ones((1, 16, 16, 6)) * 0.3,
+                     jnp.full((1, 1), 0.5))
+    assert out.shape == (1, 16, 16, 3)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_gn_swish_gradients_flow(gn_inputs):
+    x, gamma, beta = gn_inputs
+
+    def loss(x):
+        return jnp.sum(fused_groupnorm_swish(x, gamma, beta, 8) ** 2)
+
+    g = jax.grad(loss)(x)
+    assert float(jnp.sum(jnp.abs(g))) > 0

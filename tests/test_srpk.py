@@ -1,0 +1,88 @@
+"""SRPK packed store: format roundtrip, native/fallback agreement, dataset."""
+
+import numpy as np
+import pytest
+
+from sr3d_tpu.data import srpk
+
+
+@pytest.fixture(scope="module")
+def store(tmp_path_factory):
+    root = tmp_path_factory.mktemp("srpk")
+    rng = np.random.RandomState(0)
+    arrs = rng.randint(0, 256, (20, 8, 8, 3)).astype(np.uint8)
+    path = root / "t.srpk"
+    srpk.pack(path, arrs)
+    return path, arrs
+
+
+def test_roundtrip_single(store):
+    path, arrs = store
+    r = srpk.SrpkReader(path)
+    assert len(r) == 20 and r.shape == (8, 8, 3)
+    for i in (0, 7, 19):
+        np.testing.assert_array_equal(r.read(i), arrs[i])
+    r.close()
+
+
+def test_roundtrip_batch_threaded(store):
+    path, arrs = store
+    r = srpk.SrpkReader(path, threads=4)
+    idx = np.array([5, 0, 19, 3, 3, 12], np.uint64)
+    np.testing.assert_array_equal(r.read_batch(idx), arrs[idx.astype(int)])
+    r.close()
+
+
+def test_out_of_range_raises(store):
+    path, _ = store
+    r = srpk.SrpkReader(path)
+    with pytest.raises(IndexError):
+        r.read(20)
+    with pytest.raises(IndexError):
+        r.read_batch(np.array([0, 99], np.uint64))
+    r.close()
+
+
+def test_float32_records(tmp_path):
+    arrs = np.random.RandomState(1).randn(5, 4, 4).astype(np.float32)
+    srpk.pack(tmp_path / "f.srpk", arrs)
+    r = srpk.SrpkReader(tmp_path / "f.srpk")
+    assert r.dtype == np.float32
+    np.testing.assert_array_equal(r.read_batch(np.arange(5)), arrs)
+    r.close()
+
+
+def test_fallback_matches_native(store, monkeypatch):
+    path, arrs = store
+    native = srpk.SrpkReader(path)
+    out_native = native.read_batch(np.arange(20))
+    native.close()
+    monkeypatch.setattr(srpk, "_LIB", None)
+    fallback = srpk.SrpkReader(path)
+    np.testing.assert_array_equal(fallback.read_batch(np.arange(20)),
+                                  out_native)
+
+
+def test_bad_magic_raises(tmp_path):
+    p = tmp_path / "bad.srpk"
+    p.write_bytes(b"NOTSRPK!" + b"\x00" * 200)
+    with pytest.raises(OSError):
+        srpk.SrpkReader(str(p))
+
+
+def test_image_dataset(tmp_path):
+    rng = np.random.RandomState(2)
+    hr = rng.randint(0, 256, (6, 16, 16, 3)).astype(np.uint8)
+    sr = rng.randint(0, 256, (6, 16, 16, 3)).astype(np.uint8)
+    lr = rng.randint(0, 256, (6, 8, 8, 3)).astype(np.uint8)
+    srpk.pack(tmp_path / "hr_16.srpk", hr)
+    srpk.pack(tmp_path / "sr_8_16.srpk", sr)
+    srpk.pack(tmp_path / "lr_8.srpk", lr)
+    ds = srpk.SrpkImageDataset(tmp_path, 8, 16, need_LR=True)
+    assert len(ds) == 6
+    item = ds[2]
+    assert item["HR"].shape == (16, 16, 3)
+    assert item["LR"].shape == (8, 8, 3)
+    assert -1.0 <= item["HR"].min() and item["HR"].max() <= 1.0
+    batch = ds.read_batch(np.array([0, 5]))
+    assert batch["HR"].shape == (2, 16, 16, 3)
