@@ -37,6 +37,19 @@ def load_image_m11(path: str | os.PathLike) -> np.ndarray:
     return img / 127.5 - 1.0
 
 
+def transform_augment(imgs: list[np.ndarray], split: str = "val",
+                      rng: np.random.RandomState | None = None
+                      ) -> list[np.ndarray]:
+    """Train-split random horizontal flip applied consistently across a
+    group of images (reference datasets/util.py:66-83: one coin toss flips
+    the whole LR/HR/SR triplet together)."""
+    if split == "train":
+        rng = rng or np.random
+        if rng.rand() < 0.5:
+            imgs = [np.ascontiguousarray(im[:, ::-1]) for im in imgs]
+    return imgs
+
+
 class LRHRDataset:
     """Returns dict(HR, SR, [LR], Index, path_sr) per item."""
 
@@ -48,11 +61,15 @@ class LRHRDataset:
         split: str = "train",
         data_len: int = -1,
         need_LR: bool = False,
+        use_flip: bool = True,
+        seed: int = 0,
     ):
         self.l_res = l_resolution
         self.r_res = r_resolution
         self.need_LR = need_LR
         self.split = split
+        self.use_flip = use_flip
+        self._rng = np.random.RandomState(seed)
 
         root = Path(dataroot)
         self.sr_paths = get_paths_from_images(
@@ -69,12 +86,16 @@ class LRHRDataset:
         return self.data_len
 
     def __getitem__(self, index: int) -> dict:
-        item = {
-            "HR": load_image_m11(self.hr_paths[index]),
-            "SR": load_image_m11(self.sr_paths[index]),
-            "Index": index,
-            "path_sr": str(self.sr_paths[index]),
-        }
-        if self.need_LR:
-            item["LR"] = load_image_m11(self.lr_paths[index])
+        hr = load_image_m11(self.hr_paths[index])
+        sr = load_image_m11(self.sr_paths[index])
+        lr = load_image_m11(self.lr_paths[index]) if self.need_LR else None
+        if self.split == "train" and self.use_flip:
+            group = [hr, sr] + ([lr] if lr is not None else [])
+            group = transform_augment(group, "train", self._rng)
+            hr, sr = group[0], group[1]
+            lr = group[2] if lr is not None else None
+        item = {"HR": hr, "SR": sr, "Index": index,
+                "path_sr": str(self.sr_paths[index])}
+        if lr is not None:
+            item["LR"] = lr
         return item

@@ -1,0 +1,90 @@
+"""Legacy alternating trainer — behavior parity with the reference's
+"model1-era" stack (reference: main.py → lib/trainer.py:235-605).
+
+Where the current joint trainer fuses both losses in one compiled step, this
+mode alternates like the reference: an SR diffusion step per batch, periodic
+SR validation with PSNR, then SR sampling feeds arcface blobs into a MICA
+update (lib/trainer.py:364-420).  Useful for staged pretraining and as the
+migration path for users of the reference's ``main.py`` entry point.
+"""
+
+from __future__ import annotations
+
+import logging
+
+import jax
+import numpy as np
+
+from ..eval.metrics import calculate_psnr
+from ..ops.image import sr_to_mica_inputs, tensor_to_uint8
+from .joint import JointModules
+from .mica_only import (
+    MicaTrainState,
+    init_mica_state,
+    make_mica_optimizer,
+    make_mica_train_step,
+)
+from .sr_only import SRModel, SRTrainState
+
+logger = logging.getLogger("sr3d_tpu")
+
+
+class AlternatingTrainer:
+    def __init__(self, cfg, modules: JointModules, dtype=None):
+        self.cfg = cfg
+        self.modules = modules
+        self.sr = SRModel(cfg, dtype=dtype or modules.unet.dtype)
+        self.mica_opt = make_mica_optimizer(cfg)
+
+        rng = jax.random.PRNGKey(int(cfg.seed))
+        k1, k2 = jax.random.split(rng)
+        self.sr_state: SRTrainState = self.sr.init_state(k1)
+        self.mica_state: MicaTrainState = init_mica_state(
+            modules, cfg, k2, self.mica_opt)
+
+        self._sr_step = jax.jit(self.sr.make_train_step(), donate_argnums=0)
+        self._sr_sample = jax.jit(self.sr.make_sampler())
+        self._mica_step = jax.jit(make_mica_train_step(self.mica_opt),
+                                  donate_argnums=1)
+        self._rng = jax.random.PRNGKey(int(cfg.seed) + 7)
+        self.step = 0
+
+    def _next_rng(self):
+        self._rng, k = jax.random.split(self._rng)
+        return k
+
+    def training_step(self, batch: dict) -> dict:
+        """One alternating iteration (reference lib/trainer.py:273-420):
+        SR update → sample SR for this batch → arcface blobs → MICA update."""
+        sr_batch = {"HR": batch["HR"], "SR": batch["SR"]}
+        self.sr_state, sr_metrics = self._sr_step(
+            self.sr_state, sr_batch, self._next_rng())
+
+        sr_img = self._sr_sample(self.sr_state, batch["SR"],
+                                 self._next_rng())
+        _, blobs = sr_to_mica_inputs(
+            sr_img, image_size=self.modules.image_size,
+            blob_size=self.modules.blob_size)
+        self.mica_state, mica_metrics = self._mica_step(
+            self.modules, self.mica_state,
+            {"arcface": blobs, "flame_shape": batch["flame_shape"]},
+            self._next_rng())
+        self.step += 1
+        return {"l_pix": float(sr_metrics["l_pix"]),
+                "l_mica": float(mica_metrics["loss"])}
+
+    def validate_sr(self, val_batches) -> float:
+        """Periodic SR-only PSNR validation (reference
+        lib/trainer.py:291-355)."""
+        psnrs = []
+        for batch in val_batches:
+            sr_img = self._sr_sample(self.sr_state, batch["SR"],
+                                     self._next_rng())
+            sr_u8 = np.asarray(tensor_to_uint8(sr_img))
+            hr_u8 = np.asarray(tensor_to_uint8(batch["HR"]))
+            for i in range(sr_u8.shape[0]):
+                psnrs.append(calculate_psnr(sr_u8[i], hr_u8[i]))
+        avg = float(np.mean(psnrs)) if psnrs else 0.0
+        logger.info("legacy SR val: psnr %.3f over %d images", avg,
+                    len(psnrs))
+        return avg

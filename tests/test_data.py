@@ -92,8 +92,30 @@ def test_batch_loader_shapes_and_drop_last(joint_root):
     assert batch["flame_shape"].shape == (2, 2, 16)
 
 
+def test_hflip_augmentation_consistent(sr_root):
+    """Train split flips the whole HR/SR/LR group together (reference
+    transform_augment, datasets/util.py:66-83)."""
+    ds = LRHRDataset(sr_root, l_resolution=8, r_resolution=16, need_LR=True,
+                     split="train", seed=0)
+    flipped = unflipped = 0
+    base = LRHRDataset(sr_root, 8, 16, need_LR=True, split="val")
+    for _ in range(20):
+        item = ds[0]
+        ref = base[0]
+        if np.allclose(item["HR"], ref["HR"]):
+            unflipped += 1
+            np.testing.assert_allclose(item["SR"], ref["SR"])
+        else:
+            flipped += 1
+            np.testing.assert_allclose(item["HR"], ref["HR"][:, ::-1])
+            np.testing.assert_allclose(item["SR"], ref["SR"][:, ::-1])
+            np.testing.assert_allclose(item["LR"], ref["LR"][:, ::-1])
+    assert flipped > 0 and unflipped > 0  # coin actually tossed
+
+
 def test_batch_loader_threaded_matches_sync(sr_root):
-    ds = LRHRDataset(sr_root, l_resolution=8, r_resolution=16)
+    ds = LRHRDataset(sr_root, l_resolution=8, r_resolution=16,
+                     use_flip=False)
     sync = list(BatchLoader(ds, 2, shuffle=False, num_workers=0).epoch())
     thr = list(BatchLoader(ds, 2, shuffle=False, num_workers=2).epoch())
     assert len(sync) == len(thr) == 3
