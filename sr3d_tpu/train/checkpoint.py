@@ -75,7 +75,7 @@ class CheckpointManager:
                 ocp.utils.to_shape_dtype_struct, payload_like)
             return self._mgr.restore(
                 step, args=ocp.args.StandardRestore(abstract))
-        return self._restore_np(step, target)
+        return self._restore_np(step, payload_like)
 
     def wait(self):
         if self._mgr is not None:
@@ -91,10 +91,10 @@ class CheckpointManager:
         for old in kept[:-self.max_to_keep]:
             old.unlink()
 
-    def _restore_np(self, step: int, target: Any) -> dict:
+    def _restore_np(self, step: int, payload_like: dict) -> dict:
         data = np.load(self.directory / f"ckpt_{step:010d}.npz",
                        allow_pickle=True)
         leaves = [data[f"leaf_{i}"] for i in range(
             sum(1 for k in data.files if k.startswith("leaf_")))]
-        _, treedef = jax.tree_util.tree_flatten({"state": target, "meta": {}})
+        _, treedef = jax.tree_util.tree_flatten(payload_like)
         return jax.tree_util.tree_unflatten(treedef, leaves)
