@@ -32,6 +32,12 @@ def parse_args(argv=None):
                         choices=["model2", "model3"])
     parser.add_argument("--max-steps", type=int, default=None,
                         help="cap on train steps this invocation (new knob)")
+    parser.add_argument("--legacy", action="store_true",
+                        help="alternating SR/MICA trainer (the reference's "
+                             "main.py stack) instead of the joint trainer")
+    parser.add_argument("--profile", type=str, default=None, metavar="DIR",
+                        help="wrap the run in a jax.profiler trace "
+                             "written to DIR")
     args = parser.parse_args(argv)
 
     cfg = get_cfg_defaults()
@@ -64,9 +70,31 @@ def main(argv=None):
     # dump the merged config for reproducibility (main_temp.py:47-49)
     cfg.dump(str(out / "full_config.yaml"))
 
-    from ..train.trainer import Trainer
-    trainer = Trainer(cfg)
-    trainer.fit(max_steps=args.max_steps)
+    import contextlib
+
+    profile_ctx = contextlib.nullcontext()
+    if args.profile:
+        from ..utils.profiling import trace
+        profile_ctx = trace(args.profile)
+
+    with profile_ctx:
+        if args.legacy:
+            from .. import data as data_lib
+            from ..train.joint import build_joint
+            from ..train.legacy import AlternatingTrainer
+
+            modules = build_joint(cfg)
+            trainer = AlternatingTrainer(cfg, modules)
+            ds = data_lib.build_train(cfg)
+            loader = data_lib.BatchLoader(
+                ds, batch_size=int(cfg.mica.datasets.batch_size),
+                shuffle=True, seed=int(cfg.seed))
+            trainer.fit(loader, max_steps=args.max_steps or
+                        int(cfg.mica.train.max_steps))
+        else:
+            from ..train.trainer import Trainer
+            trainer = Trainer(cfg)
+            trainer.fit(max_steps=args.max_steps)
     return 0
 
 

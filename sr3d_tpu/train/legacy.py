@@ -73,6 +73,28 @@ class AlternatingTrainer:
         return {"l_pix": float(sr_metrics["l_pix"]),
                 "l_mica": float(mica_metrics["loss"])}
 
+    def fit(self, loader, max_steps: int, val_batches=None,
+            val_freq: int = 0, log_every: int = 10) -> None:
+        """Step-counted loop over a BatchLoader of joint batches
+        (reference lib/trainer.py:235-605 outer loop)."""
+        import numpy as np
+
+        it = iter(loader)
+        while self.step < max_steps:
+            raw = next(it)
+            batch = {}
+            for key in ("HR", "SR", "flame_shape"):
+                v = np.asarray(raw[key], np.float32)
+                if v.ndim == 5 or (key == "flame_shape" and v.ndim == 3):
+                    v = v.reshape((-1,) + v.shape[2:])
+                batch[key] = v
+            m = self.training_step(batch)
+            if self.step % log_every == 0:
+                logger.info("legacy step %d | l_pix %.4f l_mica %.4f",
+                            self.step, m["l_pix"], m["l_mica"])
+            if val_freq and val_batches and self.step % val_freq == 0:
+                self.validate_sr(val_batches)
+
     def validate_sr(self, val_batches) -> float:
         """Periodic SR-only PSNR validation (reference
         lib/trainer.py:291-355)."""

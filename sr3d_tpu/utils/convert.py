@@ -242,3 +242,48 @@ def convert_mapping(state_dict: Mapping, hidden: int = 3) -> dict:
     params["output"] = {"kernel": linear_w(sd["output.weight"]),
                         "bias": _np(sd["output.bias"])}
     return {"params": params}
+
+
+def main(argv=None):  # pragma: no cover — exercised via CLI
+    """CLI: convert a reference torch checkpoint to a .npz of flax leaves.
+
+    Usage: python -m sr3d_tpu.utils.convert --kind {sr3_unet,arcface,mapping}
+           --in <file.pth> --out <file.npz>
+    """
+    import argparse
+
+    import jax
+
+    p = argparse.ArgumentParser(description="torch → JAX weight conversion")
+    p.add_argument("--kind", required=True,
+                   choices=["sr3_unet", "arcface", "mapping"])
+    p.add_argument("--in", dest="inp", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--channel-mults", default="1,2,4,8,8")
+    p.add_argument("--res-blocks", type=int, default=2)
+    p.add_argument("--image-size", type=int, default=128)
+    args = p.parse_args(argv)
+
+    import torch
+
+    sd = torch.load(args.inp, map_location="cpu")
+    if isinstance(sd, dict) and "state_dict" in sd:
+        sd = sd["state_dict"]
+    if args.kind == "sr3_unet":
+        tree = convert_sr3_unet(
+            sd, channel_mults=tuple(
+                int(x) for x in args.channel_mults.split(",")),
+            res_blocks=args.res_blocks, image_size=args.image_size)
+    elif args.kind == "arcface":
+        tree = convert_arcface(sd)
+    else:
+        tree = convert_mapping(sd)
+
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    np.savez(args.out, treedef=repr(treedef),
+             **{f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)})
+    print(f"converted {args.kind}: {len(leaves)} arrays -> {args.out}")
+
+
+if __name__ == "__main__":  # pragma: no cover
+    main()
