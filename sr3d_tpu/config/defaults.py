@@ -95,7 +95,10 @@ def get_cfg_defaults() -> ConfigNode:
             )
         )
     sr.model.diffusion = ConfigNode(
-        dict(image_size=128, channels=3, conditional=True, loss="l1")
+        dict(image_size=128, channels=3, conditional=True, loss="l1",
+             # sampler: "ddpm" = full ancestral loop (reference semantics);
+             # "ddim" = strided fast sampling (new capability)
+             sampler="ddpm", ddim_steps=50, ddim_eta=1.0)
     )
 
     sr.train = ConfigNode(

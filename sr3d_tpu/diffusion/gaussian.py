@@ -277,3 +277,68 @@ def p_losses_discrete(
     if loss_type == "l1":
         return jnp.sum(jnp.abs(noise - eps))
     return jnp.sum((noise - eps) ** 2)
+
+
+# --------------------------------------------------------------------------
+# DDIM sampling (new capability — the reference only has ancestral DDPM)
+# --------------------------------------------------------------------------
+
+def ddim_sample_loop(
+    denoise_apply: DenoiseFn,
+    sched: DiffusionSchedule,
+    x_in: jax.Array,
+    rng: jax.Array,
+    *,
+    num_steps: int = 50,
+    eta: float = 0.0,
+    conditional: bool = True,
+    clip_denoised: bool = True,
+    time_input: Literal["gamma", "t"] = "gamma",
+) -> jax.Array:
+    """Deterministic/η-stochastic DDIM over a strided timestep subsequence.
+
+    Samples in ``num_steps`` UNet evaluations instead of the full T — a
+    12× wall-clock reduction at the 16→128 config's T=600 with near-parity
+    quality (standard DDIM result; Song et al. 2021 recipe, implemented
+    from the published update rule).  ``eta=0`` is deterministic DDIM;
+    ``eta=1`` recovers ancestral-like variance.
+    """
+    T = sched.num_timesteps
+    num_steps = min(num_steps, T)
+    condition = x_in if conditional else None
+    # strided subsequence τ_0 < ... < τ_{S-1}, τ last = T-1
+    taus = jnp.linspace(0, T - 1, num_steps).round().astype(jnp.int32)
+
+    k_init, k_loop = jax.random.split(rng)
+    img0 = jax.random.normal(k_init, x_in.shape, jnp.float32)
+
+    def step(img, i):
+        # reverse order: i = S-1 .. 0 maps to t = taus[i], t_prev = taus[i-1]
+        t = taus[i]
+        t_prev = jnp.where(i > 0, taus[jnp.maximum(i - 1, 0)], -1)
+        b = img.shape[0]
+        if time_input == "gamma":
+            time = jnp.full((b, 1), sched.sqrt_alphas_cumprod_prev[t + 1],
+                            dtype=img.dtype)
+        else:
+            time = jnp.full((b,), t, dtype=jnp.int32)
+        net_in = (img if condition is None
+                  else jnp.concatenate([condition, img], -1))
+        eps = denoise_apply(net_in, time).astype(jnp.float32)
+        x0 = predict_start_from_noise(sched, img, t, eps)
+        if clip_denoised:
+            x0 = jnp.clip(x0, -1.0, 1.0)
+
+        a_t = sched.alphas_cumprod[t]
+        a_prev = jnp.where(t_prev >= 0,
+                           sched.alphas_cumprod[jnp.maximum(t_prev, 0)], 1.0)
+        sigma = (eta * jnp.sqrt((1 - a_prev) / (1 - a_t))
+                 * jnp.sqrt(1 - a_t / a_prev))
+        dir_xt = jnp.sqrt(jnp.maximum(1 - a_prev - sigma ** 2, 0.0)) * eps
+        noise = jax.random.normal(jax.random.fold_in(k_loop, i), img.shape,
+                                  jnp.float32)
+        noise = jnp.where(t_prev >= 0, noise, jnp.zeros_like(noise))
+        return jnp.sqrt(a_prev) * x0 + dir_xt + sigma * noise, None
+
+    img, _ = jax.lax.scan(step, img0, jnp.arange(num_steps - 1, -1, -1))
+    return jax.lax.stop_gradient(img)

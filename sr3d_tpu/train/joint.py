@@ -36,7 +36,11 @@ import numpy as np
 import optax
 
 from ..diffusion.ema import EmaState, ema_init, ema_update
-from ..diffusion.gaussian import p_losses_continuous, p_sample_loop
+from ..diffusion.gaussian import (
+    SampleOutput,
+    p_losses_continuous,
+    p_sample_loop,
+)
 from ..diffusion.schedules import DiffusionSchedule, schedule_from_config
 from ..models import masking as masking_ops
 from ..models.arcface import IResNet
@@ -81,6 +85,12 @@ class JointModules:
                                        default=112)
     sample_remat: bool = dataclasses.field(metadata=dict(static=True),
                                            default=True)
+    val_sampler: str = dataclasses.field(metadata=dict(static=True),
+                                         default="ddpm")
+    ddim_steps: int = dataclasses.field(metadata=dict(static=True),
+                                        default=50)
+    ddim_eta: float = dataclasses.field(metadata=dict(static=True),
+                                        default=1.0)
 
 
 class JointTrainState(NamedTuple):
@@ -142,6 +152,9 @@ def build_joint(cfg, flame: FlameModel | None = None,
         variant=str(cfg.model),
         loss_type=str(cfg.sr.model.diffusion.get("loss", "l1")),
         sample_remat=bool(cfg.tpu.sample_remat),
+        val_sampler=str(cfg.sr.model.diffusion.get("sampler", "ddpm")),
+        ddim_steps=int(cfg.sr.model.diffusion.get("ddim_steps", 50)),
+        ddim_eta=float(cfg.sr.model.diffusion.get("ddim_eta", 1.0)),
     )
 
 
@@ -333,7 +346,16 @@ def make_val_step(use_ema: bool = False):
         sr_params = (state.ema.params if (use_ema and state.ema is not None)
                      else state.params["sr"])
         denoise = _sr_denoise_fn(modules, sr_params)
-        sample = p_sample_loop(denoise, modules.sched_val, batch["SR"], rng)
+        if modules.val_sampler == "ddim":
+            from ..diffusion.gaussian import ddim_sample_loop
+
+            final = ddim_sample_loop(
+                denoise, modules.sched_val, batch["SR"], rng,
+                num_steps=modules.ddim_steps, eta=modules.ddim_eta)
+            sample = SampleOutput(final=final, intermediates=None)
+        else:
+            sample = p_sample_loop(denoise, modules.sched_val, batch["SR"],
+                                   rng)
         img224, blob = sr_to_mica_inputs(
             sample.final, image_size=modules.image_size,
             blob_size=modules.blob_size)

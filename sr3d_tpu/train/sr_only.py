@@ -111,12 +111,27 @@ class SRModel:
 
         return train_step
 
-    def make_sampler(self, use_ema: bool = False, continuous: bool = False):
+    def make_sampler(self, use_ema: bool = False, continuous: bool = False,
+                     sampler: str | None = None):
+        sampler = sampler or str(
+            self.cfg.sr.model.diffusion.get("sampler", "ddpm"))
+
         def sample(state: SRTrainState, cond, rng):
             params = (state.ema.params
                       if (use_ema and state.ema is not None)
                       else state.params)
             denoise = lambda x, t: self.unet.apply(params, x, t)
+            if sampler == "ddim" and not continuous:
+                from ..diffusion.gaussian import ddim_sample_loop
+
+                return ddim_sample_loop(
+                    denoise, self.sched_val, cond, rng,
+                    num_steps=int(
+                        self.cfg.sr.model.diffusion.get("ddim_steps", 50)),
+                    eta=float(
+                        self.cfg.sr.model.diffusion.get("ddim_eta", 1.0)),
+                    conditional=self.conditional,
+                    time_input=self.time_input)
             out = p_sample_loop(
                 denoise, self.sched_val, cond, rng,
                 conditional=self.conditional,

