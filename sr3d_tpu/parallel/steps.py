@@ -67,3 +67,42 @@ def pjit_sample(sample_fn: Callable, mesh: Mesh, cond_ndim: int = 4):
         in_shardings=(repl, cond_sh, repl),
         out_shardings=cond_sh,
     )
+
+
+def tp_param_sharding(mesh: Mesh, params, axis: str = "model",
+                      min_size: int = 2):
+    """NamedSharding pytree sharding weight matrices over the model axis.
+
+    Conv kernels [kh,kw,I,O] and Dense kernels [I,O] shard their output
+    (last) dim over ``axis`` when divisible; everything else replicates.
+    GSPMD propagates the activation shardings and inserts the all-gathers /
+    reduce-scatters — no manual collectives (scaling-book recipe: annotate,
+    let XLA place collectives on ICI).
+    """
+    n = mesh.shape[axis]
+
+    def rule(x):
+        shape = np.shape(x)
+        if len(shape) >= 2 and n >= min_size and shape[-1] % n == 0 \
+                and shape[-1] >= 128:
+            spec = [None] * (len(shape) - 1) + [axis]
+            return NamedSharding(mesh, P(*spec))
+        return NamedSharding(mesh, P())
+
+    return jax.tree.map(rule, params)
+
+
+def shard_state_dp_tp(mesh: Mesh, state, params_path=("params",)):
+    """Shard a JointTrainState/SRTrainState: params (and matching optimizer
+    moments) TP-sharded, everything else replicated.  Optimizer moment trees
+    mirror the param tree, so the same rule applies leaf-wise by shape."""
+    def rule(x):
+        shape = np.shape(x)
+        n = mesh.shape["model"]
+        if len(shape) >= 2 and n >= 2 and shape[-1] % n == 0 \
+                and shape[-1] >= 128:
+            return NamedSharding(mesh, P(*([None] * (len(shape) - 1)
+                                           + ["model"])))
+        return NamedSharding(mesh, P())
+
+    return jax.device_put(state, jax.tree.map(rule, state))

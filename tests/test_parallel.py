@@ -111,3 +111,55 @@ def test_joint_train_step_8way():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+def test_tp_sharded_unet_matches_replicated(tiny_unet):
+    """2×4 (dp×tp) mesh: UNet forward with TP-sharded params must match the
+    single-device forward (GSPMD inserts the collectives)."""
+    from sr3d_tpu.parallel.steps import tp_param_sharding
+
+    unet, _ = tiny_unet
+    # wider variant so kernels hit the >=128-channel TP threshold
+    import jax.numpy as jnp
+
+    from sr3d_tpu.models.sr3_unet import SR3UNet
+
+    wide = SR3UNet(inner_channel=64, norm_groups=8, channel_mults=(1, 2),
+                   attn_res=(8,), res_blocks=1, dropout=0.0, image_size=16,
+                   dtype=jnp.float32)
+    params = wide.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 6)),
+                       jnp.zeros((1, 1)))
+    x = np.random.RandomState(0).randn(4, 16, 16, 6).astype(np.float32)
+    t = np.full((4, 1), 0.5, np.float32)
+
+    ref = jax.jit(wide.apply)(params, x, t)
+
+    mesh = make_mesh((2, 4))
+    shardings = tp_param_sharding(mesh, params)
+    # at least one kernel must actually be sharded over the model axis
+    specs = [s.spec for s in jax.tree_util.tree_leaves(shardings)]
+    assert any("model" in str(s) for s in specs), "no TP sharding applied"
+
+    params_tp = jax.device_put(params, shardings)
+    x_sh = jax.device_put(x, batch_sharding(mesh))
+    out = jax.jit(wide.apply)(params_tp, x_sh, jax.device_put(
+        t, batch_sharding(mesh, ndim=2)))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
+
+
+def test_shard_state_dp_tp_roundtrip(tiny_unet):
+    """State sharding helper places kernels on the model axis and leaves
+    scalars replicated; values are preserved."""
+    import jax.numpy as jnp
+
+    from sr3d_tpu.parallel.steps import shard_state_dp_tp
+
+    mesh = make_mesh((2, 4))
+    state = {"params": {"dense": {"kernel": jnp.ones((64, 128)),
+                                  "bias": jnp.zeros((128,))}},
+             "step": jnp.zeros((), jnp.int32)}
+    sharded = shard_state_dp_tp(mesh, state)
+    k = sharded["params"]["dense"]["kernel"]
+    assert "model" in str(k.sharding.spec)
+    np.testing.assert_array_equal(np.asarray(k), np.ones((64, 128)))
+    assert sharded["step"].sharding.is_fully_replicated
