@@ -85,11 +85,19 @@ def main(argv=None):
                    default=min(8, os.cpu_count() or 1))
     p.add_argument("--order", "-od", action="store_true",
                    help="prefix a running index to output names")
+    p.add_argument("--srpk", action="store_true",
+                   help="also pack the output dirs into SRPK stores "
+                        "(the LMDB-mode equivalent)")
     args = p.parse_args(argv)
     sizes = tuple(int(s) for s in args.size.split(","))
     assert len(sizes) == 2, "--size must be 'l,r'"
     n = prepare(args.path, args.out, sizes, args.n_worker, args.order)
     print(f"prepared {n} images -> {args.out}")
+    if args.srpk:
+        from .srpk import pack_lrhr_root
+
+        counts = pack_lrhr_root(args.out, sizes[0], sizes[1])
+        print(f"packed srpk: {counts}")
 
 
 if __name__ == "__main__":

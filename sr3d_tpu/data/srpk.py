@@ -186,3 +186,39 @@ class SrpkImageDataset:
         if self.lr is not None:
             out["LR"] = to_m11(self.lr.read_batch(indices))
         return out
+
+
+def pack_image_dir(img_dir, out_path, size: int | None = None) -> int:
+    """Pack a directory of images into one SRPK of uint8 HWC records
+    (offline; the packed twin of a ``lr_*/hr_*/sr_*`` PNG dir)."""
+    from PIL import Image
+
+    from .lrhr import get_paths_from_images
+
+    paths = get_paths_from_images(img_dir)
+    first = np.asarray(Image.open(paths[0]).convert("RGB"))
+    h, w = (size, size) if size else first.shape[:2]
+    arrays = np.empty((len(paths), h, w, 3), np.uint8)
+    for i, p in enumerate(paths):
+        img = Image.open(p).convert("RGB")
+        if size and img.size != (size, size):
+            img = img.resize((size, size), Image.BICUBIC)
+        arrays[i] = np.asarray(img)
+    pack(out_path, arrays)
+    return len(paths)
+
+
+def pack_lrhr_root(root, l_res: int, r_res: int, out_root=None) -> dict:
+    """Pack the three LRHR dirs of a dataset root into SRPK stores readable
+    by ``SrpkImageDataset`` (prep-tool companion)."""
+    from pathlib import Path
+
+    root = Path(root)
+    out_root = Path(out_root) if out_root else root
+    out_root.mkdir(parents=True, exist_ok=True)
+    counts = {}
+    for name in (f"hr_{r_res}", f"sr_{l_res}_{r_res}", f"lr_{l_res}"):
+        src = root / name
+        if src.is_dir():
+            counts[name] = pack_image_dir(src, out_root / f"{name}.srpk")
+    return counts

@@ -141,12 +141,20 @@ class Trainer:
                 ds, batch_size=int(cfg.mica.datasets.batch_size),
                 shuffle=True, seed=int(cfg.seed),
                 num_workers=int(cfg.mica.datasets.num_workers))
-        val = data_lib.LRHRDataset(
-            dataroot=cfg.sr.datasets.val.dataroot,
-            l_resolution=int(cfg.sr.datasets.val.l_resolution),
-            r_resolution=int(cfg.sr.datasets.val.r_resolution),
-            split="val", data_len=int(cfg.sr.datasets.val.data_len),
-            need_LR=True)
+        if str(cfg.sr.datasets.val.get("datatype", "img")) == "srpk":
+            from ..data.srpk import SrpkImageDataset
+
+            val = SrpkImageDataset(
+                cfg.sr.datasets.val.dataroot,
+                int(cfg.sr.datasets.val.l_resolution),
+                int(cfg.sr.datasets.val.r_resolution), need_LR=True)
+        else:
+            val = data_lib.LRHRDataset(
+                dataroot=cfg.sr.datasets.val.dataroot,
+                l_resolution=int(cfg.sr.datasets.val.l_resolution),
+                r_resolution=int(cfg.sr.datasets.val.r_resolution),
+                split="val", data_len=int(cfg.sr.datasets.val.data_len),
+                need_LR=True)
         self.val_loader = data_lib.BatchLoader(
             val, batch_size=1, shuffle=False, num_workers=0, drop_last=False)
 

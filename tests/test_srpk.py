@@ -86,3 +86,23 @@ def test_image_dataset(tmp_path):
     assert -1.0 <= item["HR"].min() and item["HR"].max() <= 1.0
     batch = ds.read_batch(np.array([0, 5]))
     assert batch["HR"].shape == (2, 16, 16, 3)
+
+
+def test_pack_lrhr_root_and_prepare_cli(tmp_path):
+    """prepare CLI --srpk packs the triplet dirs; SrpkImageDataset reads the
+    result with values matching the PNG-dir LRHRDataset."""
+    from sr3d_tpu.data.lrhr import LRHRDataset
+    from sr3d_tpu.data.prepare import main as prepare_main
+    from sr3d_tpu.data.synthetic import generate_synthetic_faces
+
+    src = tmp_path / "src"
+    generate_synthetic_faces(src, n=4, l_res=8, r_res=16)
+    out = tmp_path / "prep"
+    prepare_main(["--path", str(src / "hr_16"), "--out", str(out),
+                  "--size", "8,16", "--n_worker", "0", "--srpk"])
+    png_ds = LRHRDataset(out, 8, 16, need_LR=True, split="val")
+    pk_ds = srpk.SrpkImageDataset(out, 8, 16, need_LR=True)
+    assert len(png_ds) == len(pk_ds) == 4
+    a, b = png_ds[1], pk_ds[1]
+    np.testing.assert_allclose(a["HR"], b["HR"], atol=1e-6)
+    np.testing.assert_allclose(a["LR"], b["LR"], atol=1e-6)
