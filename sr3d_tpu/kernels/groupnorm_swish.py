@@ -29,18 +29,75 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _stats_kernel(x_ref, out_ref):
+    # x block [1, Ht, W, C] → per-channel partial moments [1, 1, 2, C]
+    x = x_ref[0].astype(jnp.float32)
+    out_ref[0, 0, 0] = jnp.sum(x, axis=(0, 1))
+    out_ref[0, 0, 1] = jnp.sum(x * x, axis=(0, 1))
+
+
+@functools.partial(jax.jit, static_argnames=("row_tile",))
+def _gn_stats_pallas(x: jax.Array, row_tile: int = 16):
+    """Per-channel (sum, sumsq) over (H, W): pallas grid over (B, H-tiles)
+    with pipelined HBM→VMEM streaming.  XLA's convert_reduce fusions measured
+    only ~33 GB/s on the target runtime (28% of sampling step time); this
+    kernel reads at DMA streaming rate and reduces in-register."""
+    B, H, W, C = x.shape
+    rt = min(row_tile, H)
+    while H % rt != 0:  # blocks must tile H exactly (no ragged masking)
+        rt -= 1
+    n_tiles = H // rt
+    partial = pl.pallas_call(
+        _stats_kernel,
+        grid=(B, n_tiles),
+        in_specs=[pl.BlockSpec((1, rt, W, C), lambda b, h: (b, h, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, 1, 2, C), lambda b, h: (b, h, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, n_tiles, 2, C), jnp.float32),
+    )(x)
+    moments = jnp.sum(partial, axis=1)  # [B, 2, C]
+    return moments[:, 0], moments[:, 1]
+
+
+def _group_onehot(C: int, G: int) -> jax.Array:
+    """[C, G] channel→group one-hot map (channels grouped contiguously)."""
+    chan_group = jax.lax.broadcasted_iota(jnp.int32, (C, G), 0) // (C // G)
+    group_ids = jax.lax.broadcasted_iota(jnp.int32, (C, G), 1)
+    return (chan_group == group_ids).astype(jnp.float32)
+
+
 def groupnorm_swish_reference(x: jax.Array, gamma: jax.Array, beta: jax.Array,
                               num_groups: int, eps: float = 1e-5,
                               ) -> jax.Array:
-    """XLA reference: GN (fp32 stats) → affine → swish, NHWC."""
+    """XLA reference: GN (fp32 stats) → affine → swish, NHWC.
+
+    Reshape-free formulation: per-channel moments reduced over (H, W), then a
+    tiny [C, G] one-hot matmul combines channels into groups.  The naive
+    ``reshape(B, HW, G, C//G)`` version materialised the reshapes and f32
+    converts — a measured 29% of sampling step time (GN stat fusions) plus
+    most of the 14% reshape time in the TPU trace.
+    """
     B, H, W, C = x.shape
     G = num_groups
-    xf = x.astype(jnp.float32).reshape(B, H * W, G, C // G)
-    mean = xf.mean(axis=(1, 3), keepdims=True)
-    var = xf.var(axis=(1, 3), keepdims=True)
-    xn = (xf - mean) * jax.lax.rsqrt(var + eps)
-    xn = xn.reshape(B, H, W, C) * gamma.astype(jnp.float32) \
-        + beta.astype(jnp.float32)
+    n = H * W * (C // G)
+    onehot = _group_onehot(C, G)
+
+    # NOTE: a pallas stats kernel (_gn_stats_pallas) reads 2.7× faster than
+    # XLA's convert_reduce fusions in isolation (1.45 vs 3.9 ms/step), but
+    # splitting stats out of the XLA program broke surrounding fusions and
+    # REGRESSED the whole step 13.8 → 20.6 ms (measured trace).  Stats stay
+    # in XLA; the kernel remains available for a future fully-fused block.
+    xf = x.astype(jnp.float32)
+    sum_c = jnp.sum(xf, axis=(1, 2))               # [B, C]
+    sq_c = jnp.sum(xf * xf, axis=(1, 2))           # [B, C]
+    g_mean = (sum_c @ onehot) / n                  # [B, G]
+    g_var = (sq_c @ onehot) / n - g_mean * g_mean
+    mean_c = g_mean @ onehot.T                     # [B, C]
+    rstd_c = jax.lax.rsqrt(g_var + eps) @ onehot.T
+
+    xn = (xf - mean_c[:, None, None, :]) * rstd_c[:, None, None, :]
+    xn = xn * gamma.astype(jnp.float32) + beta.astype(jnp.float32)
     return (xn * jax.nn.sigmoid(xn)).astype(x.dtype)
 
 

@@ -108,3 +108,33 @@ def test_gn_swish_gradients_flow(gn_inputs):
 
     g = jax.grad(loss)(x)
     assert float(jnp.sum(jnp.abs(g))) > 0
+
+
+def test_gn_stats_pallas_interpret_matches_xla():
+    from jax.experimental.pallas import tpu as pltpu
+
+    from sr3d_tpu.kernels.groupnorm_swish import _gn_stats_pallas
+
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(2, 16, 8, 32), jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        s, q = _gn_stats_pallas(x, row_tile=8)
+    xf = np.asarray(x, np.float64)
+    np.testing.assert_allclose(np.asarray(s), xf.sum((1, 2)),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(q), (xf * xf).sum((1, 2)),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_gn_stats_pallas_non_divisible_row_tile_interpret():
+    """Requested tile 16 doesn't divide H=24 → falls back to a divisor."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from sr3d_tpu.kernels.groupnorm_swish import _gn_stats_pallas
+
+    x = jnp.asarray(np.random.RandomState(4).randn(1, 24, 8, 16), jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        s, _ = _gn_stats_pallas(x, row_tile=16)
+    np.testing.assert_allclose(np.asarray(s),
+                               np.asarray(x, np.float64).sum((1, 2)),
+                               rtol=1e-4, atol=1e-4)
