@@ -32,6 +32,9 @@ def parse_args(argv=None):
                         choices=["model2", "model3"])
     parser.add_argument("--max-steps", type=int, default=None,
                         help="cap on train steps this invocation (new knob)")
+    parser.add_argument("--debug", action="store_true",
+                        help="shrink timesteps/data for a fast smoke run "
+                             "(reference core/logger.py:55-64 debug mode)")
     parser.add_argument("--legacy", action="store_true",
                         help="alternating SR/MICA trainer (the reference's "
                              "main.py stack) instead of the joint trainer")
@@ -52,6 +55,13 @@ def parse_args(argv=None):
         cfg.checkpoint = args.checkpoint
     if args.model:
         cfg.model = args.model
+    if args.debug:
+        cfg.debug = True
+        for ph in ("train", "val"):
+            cfg.sr.model.beta_schedule[ph].n_timestep = 10
+        cfg.sr.datasets.val.data_len = 6
+        cfg.train.log_steps = 1
+        cfg.name = (cfg.get("name") or "run") + "_debug"
     return cfg, args
 
 

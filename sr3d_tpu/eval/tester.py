@@ -153,6 +153,7 @@ class Tester:
         from .export import read_obj
 
         errs = []
+        all_d = []
         for pred in sorted(Path(pred_dir).iterdir()):
             gt = Path(gt_dir) / pred.name
             if not (gt / "scan.npy").exists():
@@ -161,8 +162,25 @@ class Tester:
             lmk7 = np.load(pred / "kpt7.npy")
             scan = np.load(gt / "scan.npy")
             gt7 = np.load(gt / "lmk7.npy")
-            errs.append(now_distance(verts, lmk7, scan, gt7))
+            from scipy.spatial import cKDTree
+
+            s, R, t = rigid_align_7(lmk7, gt7)
+            aligned = (s * (R @ verts.T)).T + t
+            d, _ = cKDTree(aligned).query(scan, k=1)
+            all_d.append(d)
+            errs.append({"median": float(np.median(d)),
+                         "mean": float(np.mean(d)),
+                         "std": float(np.std(d))})
         agg = {k: float(np.mean([e[k] for e in errs])) if errs else 0.0
                for k in ("median", "mean", "std")}
         agg["n"] = len(errs)
+        if all_d:
+            # NoW-style cumulative error curve: fraction of scan points under
+            # each mm threshold (the benchmark's standard plot)
+            d = np.concatenate(all_d)
+            thresholds = np.linspace(0, 7, 15)
+            agg["cumulative_curve"] = {
+                "threshold_mm": thresholds.tolist(),
+                "fraction": [float((d <= t).mean()) for t in thresholds],
+            }
         return agg

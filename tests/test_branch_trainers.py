@@ -196,3 +196,33 @@ def test_tester_export_and_now_metric(mica_setup, tmp_path):
 
     ss, RR, tt = rigid_align_7(lmk7, scan7)
     assert ss == pytest.approx(s, rel=1e-4)
+
+
+def test_evaluate_now_with_gt(mica_setup, tmp_path):
+    """evaluate_now aggregates distances + cumulative curve over a GT tree."""
+    from sr3d_tpu.eval.tester import Tester
+    from sr3d_tpu.eval.export import export_prediction
+
+    cfg, modules, opt, state = mica_setup
+    rng = np.random.RandomState(0)
+    verts = rng.randn(50, 3).astype(np.float32) * 0.05
+    faces = rng.randint(0, 50, (60, 3)).astype(np.int32)
+    lmk68 = rng.randn(68, 3).astype(np.float32) * 0.05
+    export_prediction(tmp_path / "preds" / "s1", verts, faces,
+                      rng.randn(16).astype(np.float32), lmk68)
+
+    from sr3d_tpu.eval.export import landmarks_7, read_obj
+    pv, _ = read_obj(tmp_path / "preds" / "s1" / "mesh.obj")
+    gt = tmp_path / "gt" / "s1"
+    gt.mkdir(parents=True)
+    np.save(gt / "scan.npy", pv + 0.5)           # uniform 0.5 mm offset
+    np.save(gt / "lmk7.npy",
+            np.load(tmp_path / "preds" / "s1" / "kpt7.npy") + 0.5)
+
+    res = Tester.evaluate_now(tmp_path / "preds", tmp_path / "gt")
+    assert res["n"] == 1
+    # rigid alignment absorbs the pure translation → near-zero error
+    assert res["mean"] < 0.2
+    curve = res["cumulative_curve"]
+    assert curve["fraction"][-1] == 1.0
+    assert curve["fraction"][0] <= curve["fraction"][-1]
