@@ -138,3 +138,17 @@ def test_gn_stats_pallas_non_divisible_row_tile_interpret():
     np.testing.assert_allclose(np.asarray(s),
                                np.asarray(x, np.float64).sum((1, 2)),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_conv3x3_pallas_interpret_matches_xla():
+    from jax.experimental.pallas import tpu as pltpu
+
+    from sr3d_tpu.kernels.conv3x3 import conv3x3_pallas, conv3x3_reference
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 16, 8, 32), jnp.float32)
+    w = jnp.asarray(rng.randn(3, 3, 32, 16) * 0.1, jnp.float32)
+    ref = conv3x3_reference(x, w)
+    with pltpu.force_tpu_interpret_mode():
+        out = conv3x3_pallas(x, w, row_tile=8)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
