@@ -1,0 +1,56 @@
+"""MetricsWriter / setup_logger / profiling utils."""
+
+import json
+import logging
+
+import numpy as np
+
+from sr3d_tpu.utils.logging import MetricsWriter, setup_logger
+from sr3d_tpu.utils.profiling import StepTimer
+
+
+def test_metrics_writer_jsonl_and_tb(tmp_path):
+    w = MetricsWriter(tmp_path, enable_tensorboard=True)
+    w.add_scalar("train/loss", 1.5, step=10)
+    w.add_scalars({"a": 1.0, "b": 2.0}, step=11, prefix="val/")
+    w.add_image("vis/mesh", np.random.rand(8, 8, 3), step=10)
+    w.close()
+
+    lines = [json.loads(l) for l in
+             (tmp_path / "metrics.jsonl").read_text().splitlines()]
+    tags = {l["tag"] for l in lines}
+    assert {"train/loss", "val/a", "val/b"} <= tags
+    assert any(l["value"] == 1.5 and l["step"] == 10 for l in lines)
+    # image persisted to disk regardless of TB availability
+    assert list((tmp_path / "images").glob("vis_mesh_10.png"))
+
+
+def test_metrics_writer_survives_missing_backends(tmp_path, monkeypatch):
+    import sys
+
+    monkeypatch.setitem(sys.modules, "torch.utils.tensorboard", None)
+    w = MetricsWriter(tmp_path, enable_tensorboard=True, enable_wandb=True)
+    w.add_scalar("x", 1.0, 0)
+    w.close()
+    assert (tmp_path / "metrics.jsonl").exists()
+
+
+def test_setup_logger_file_handler(tmp_path):
+    logger = setup_logger("sr3d_tpu_test", log_dir=tmp_path, phase="train")
+    logger.info("hello %d", 42)
+    for h in logger.handlers:
+        h.flush()
+    assert "hello 42" in (tmp_path / "train.log").read_text()
+    logging.getLogger("sr3d_tpu_test").handlers.clear()
+
+
+def test_step_timer_discards_warmup():
+    t = StepTimer(warmup=1)
+    import time
+
+    for i in range(3):
+        t.start()
+        time.sleep(0.01)
+        t.stop()
+    assert 0.005 < t.mean < 0.1
+    assert t.items_per_sec(4) > 0
