@@ -27,7 +27,10 @@ def build_train(cfg):
             lr_res=cfg.sr.datasets.train.l_resolution,
             hr_res=cfg.sr.datasets.train.r_resolution,
             n_shape=cfg.mica.model.n_shape, n_exp=cfg.mica.model.n_exp,
-            is_train=True))
+            is_train=True,
+            # LYHM sources ship paired _1C/_2C camera views
+            # (reference datasets/base.py:80-113)
+            use_pairs=name.startswith("LYHM")))
     return ConcatDataset(sets)
 
 

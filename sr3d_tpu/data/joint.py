@@ -19,6 +19,30 @@ import numpy as np
 from .lrhr import load_image_m11
 
 
+def _filter_pairs(img_rels) -> list:
+    """LYHM-style ``*_1C``/``*_2C`` pairing: keep only images whose basename
+    has BOTH camera views present (reference scan_img_arcface,
+    datasets/base.py:80-113 — the reference additionally requires adjacent
+    running indices; we key on the shared base name)."""
+    by_base: dict[str, dict] = {}
+    for rel in img_rels:
+        stem = Path(rel).stem
+        for suffix in ("_1C", "_2C"):
+            if stem.endswith(suffix):
+                # reference naming: {running_index}_{base}_{1C|2C}; the two
+                # views of a pair carry adjacent indices, so key on the base
+                # (parts[1] in the reference, base.py:99)
+                parts = stem[: -len(suffix)].split("_", 1)
+                base = parts[1] if len(parts) == 2 else parts[0]
+                by_base.setdefault(base, {})[suffix] = rel
+    out = []
+    for base in sorted(by_base):
+        views = by_base[base]
+        if "_1C" in views and "_2C" in views:
+            out.extend([views["_1C"], views["_2C"]])
+    return out
+
+
 class JointFaceDataset:
     """Actor-keyed dataset reading the reference's cached-path layout
     (``image_paths/<NAME>.npy`` → {actor: ([imgs], flame.npz)},
@@ -36,6 +60,7 @@ class JointFaceDataset:
         n_exp: int = 100,
         eval_max_k: int = 8,
         seed: int = 0,
+        use_pairs: bool = False,
     ):
         self.root = Path(root)
         self.name = name
@@ -50,6 +75,10 @@ class JointFaceDataset:
 
         paths_file = self.root / "image_paths" / f"{name}.npy"
         face_dict = np.load(paths_file, allow_pickle=True).item()
+        if use_pairs:
+            face_dict = {a: (_filter_pairs(imgs), flame)
+                         for a, (imgs, flame) in face_dict.items()}
+            face_dict = {a: v for a, v in face_dict.items() if v[0]}
         self.actors = sorted(face_dict.keys())
         self.face_dict = face_dict
 

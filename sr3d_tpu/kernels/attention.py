@@ -64,6 +64,34 @@ def _attn_pallas(q, k, v, scale: float):
     )(q, k, v)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _attn_pallas_diff(q, k, v, scale):
+    return _attn_pallas(q, k, v, scale)
+
+
+def _attn_fwd(q, k, v, scale):
+    return _attn_pallas(q, k, v, scale), (q, k, v)
+
+
+def _attn_bwd(scale, res, g):
+    """XLA backward for the pallas forward (tokens ≤ 256 at attn_res 16 —
+    the recompute is cheap; pallas kernels have no autodiff of their own)."""
+    q, k, v = res
+    s = jnp.einsum("bic,bjc->bij", q, k,
+                   preferred_element_type=jnp.float32) * scale
+    p = jax.nn.softmax(s, axis=-1)
+    gf = g.astype(jnp.float32)
+    pv_grad = jnp.einsum("bij,bic->bjc", p, gf)          # dv
+    dp = jnp.einsum("bic,bjc->bij", gf, v.astype(jnp.float32))
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    dq = jnp.einsum("bij,bjc->bic", ds, k.astype(jnp.float32)) * scale
+    dk = jnp.einsum("bij,bic->bjc", ds, q.astype(jnp.float32)) * scale
+    return dq.astype(q.dtype), dk.astype(k.dtype), pv_grad.astype(v.dtype)
+
+
+_attn_pallas_diff.defvjp(_attn_fwd, _attn_bwd)
+
+
 def fused_spatial_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                             channels: int | None = None,
                             use_pallas: bool | None = None) -> jax.Array:
@@ -74,7 +102,7 @@ def fused_spatial_attention(q: jax.Array, k: jax.Array, v: jax.Array,
         use_pallas = jax.default_backend() == "tpu"
     if use_pallas:
         try:
-            return _attn_pallas(q, k, v, scale)
+            return _attn_pallas_diff(q, k, v, scale)
         except Exception:  # pragma: no cover
             pass
     return spatial_attention_reference(q, k, v, scale)

@@ -142,3 +142,14 @@ def test_prepare_tool(tmp_path, sr_root):
         assert len(list((out / d).glob("*.png"))) == 6
     ds = LRHRDataset(out, l_resolution=8, r_resolution=16, need_LR=True)
     assert len(ds) == 6
+
+
+def test_pair_filter_lyhm_style():
+    from sr3d_tpu.data.joint import _filter_pairs
+
+    imgs = ["a/001_faceA_1C.png", "a/002_faceA_2C.png",
+            "a/003_faceB_1C.png",                     # missing 2C → dropped
+            "a/004_faceC_2C.png",                     # missing 1C → dropped
+            "a/005_plain.png"]                        # unpaired naming → dropped
+    out = _filter_pairs(imgs)
+    assert out == ["a/001_faceA_1C.png", "a/002_faceA_2C.png"]

@@ -152,3 +152,33 @@ def test_conv3x3_pallas_interpret_matches_xla():
     with pltpu.force_tpu_interpret_mode():
         out = conv3x3_pallas(x, w, row_tile=8)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+
+def test_attention_custom_vjp_matches_reference_grad():
+    """Gradients through the pallas attention (custom VJP, XLA backward)
+    must match autodiff through the XLA reference — the TPU train step
+    differentiates this path (discovered via a grad crash on TPU)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from sr3d_tpu.kernels.attention import (
+        _attn_pallas_diff,
+        spatial_attention_reference,
+    )
+
+    rng = np.random.RandomState(5)
+    q = jnp.asarray(rng.randn(2, 16, 32), jnp.float32)
+    k = jnp.asarray(rng.randn(2, 16, 32), jnp.float32)
+    v = jnp.asarray(rng.randn(2, 16, 32), jnp.float32)
+    scale = 1.0 / float(np.sqrt(32))
+
+    def loss_ref(q, k, v):
+        return jnp.sum(spatial_attention_reference(q, k, v, scale) ** 2)
+
+    def loss_pal(q, k, v):
+        return jnp.sum(_attn_pallas_diff(q, k, v, scale) ** 2)
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    with pltpu.force_tpu_interpret_mode():
+        g_pal = jax.grad(loss_pal, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_ref, g_pal):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
