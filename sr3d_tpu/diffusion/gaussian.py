@@ -139,10 +139,12 @@ def _p_sample_step(
     rng: jax.Array,
     clip_denoised: bool,
     time_input: Literal["gamma", "t"],
+    noise: jax.Array | None = None,
 ) -> jax.Array:
     mean, log_var = p_mean_variance(
         denoise_apply, sched, img, t, condition, clip_denoised, time_input)
-    noise = jax.random.normal(rng, img.shape, img.dtype)
+    if noise is None:
+        noise = jax.random.normal(rng, img.shape, img.dtype)
     noise = jnp.where(t > 0, noise, jnp.zeros_like(noise))
     return mean + noise * jnp.exp(0.5 * log_var)
 
@@ -164,6 +166,7 @@ def p_sample_loop(
     remat: bool = True,
     return_intermediates: bool = False,
     time_input: Literal["gamma", "t"] = "gamma",
+    fixed_noise: jax.Array | None = None,
 ) -> SampleOutput:
     """Full ancestral reverse loop as one ``lax.scan``.
 
@@ -181,13 +184,17 @@ def p_sample_loop(
     * ``return_intermediates`` keeps every ``1 | T//10``-th frame like the
       reference's ``continous=True`` trajectory output (:200-211), as a
       statically-shaped stacked array.
+    * ``fixed_noise`` ([T+1, *shape]) injects a deterministic noise sequence
+      (index 0 = initial image, 1+k = loop-iteration-k noise) — used for
+      bit-level cross-framework parity tests and reproducible pipelines.
     """
     T = sched.num_timesteps
     condition = x_in if conditional else None
     shape = x_in.shape
 
     k_init, k_loop = jax.random.split(rng)
-    img0 = jax.random.normal(k_init, shape, jnp.float32)
+    img0 = (fixed_noise[0].astype(jnp.float32) if fixed_noise is not None
+            else jax.random.normal(k_init, shape, jnp.float32))
 
     sample_inter = 1 | (T // 10)
     n_kept = (T + sample_inter - 1) // sample_inter if return_intermediates else 0
@@ -196,9 +203,11 @@ def p_sample_loop(
         img, kept = carry
         t = T - 1 - i  # traced scalar index into schedule buffers
         step_rng = jax.random.fold_in(k_loop, i)
+        step_noise = (fixed_noise[1 + i].astype(jnp.float32)
+                      if fixed_noise is not None else None)
         new_img = _p_sample_step(
             denoise_apply, sched, img, t, condition, step_rng,
-            clip_denoised, time_input)
+            clip_denoised, time_input, noise=step_noise)
         if return_intermediates:
             slot = t // sample_inter
             kept = jax.lax.cond(
