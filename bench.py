@@ -30,6 +30,10 @@ efficiency ≈ 39%.
 import json
 import time
 
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
+
 import jax
 import jax.numpy as jnp
 
