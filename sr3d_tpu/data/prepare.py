@@ -17,7 +17,6 @@ import multiprocessing
 import os
 from pathlib import Path
 
-import numpy as np
 
 IMG_EXTENSIONS = {".jpg", ".jpeg", ".png", ".bmp", ".webp"}
 

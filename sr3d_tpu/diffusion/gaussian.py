@@ -21,7 +21,7 @@ channel-concatenated ``[cond, x_t]`` input and either a continuous noise level
 
 from __future__ import annotations
 
-from functools import partial
+
 from typing import Callable, Literal, NamedTuple
 
 import jax

@@ -19,7 +19,7 @@ from pathlib import Path
 
 import numpy as np
 
-from .export import export_prediction, landmarks_7
+from .export import export_prediction
 
 logger = logging.getLogger("sr3d_tpu")
 

@@ -27,12 +27,10 @@ model/sr3d/model.py:333-339), expressed as one ``optax.multi_transform``.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 import optax
 
 from ..diffusion.ema import EmaState, ema_init, ema_update

@@ -19,7 +19,7 @@ import optax
 from ..diffusion.ema import EmaState, ema_init, ema_update
 from ..diffusion.gaussian import p_losses_continuous, p_losses_discrete, \
     p_sample_loop
-from ..diffusion.schedules import DiffusionSchedule, schedule_from_config
+from ..diffusion.schedules import schedule_from_config
 from ..models.networks import define_g
 
 

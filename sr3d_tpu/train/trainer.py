@@ -26,7 +26,6 @@ from ..parallel import mesh as mesh_lib
 from .checkpoint import CheckpointManager
 from .joint import (
     JointModules,
-    JointTrainState,
     build_joint,
     init_train_state,
     make_optimizer,
