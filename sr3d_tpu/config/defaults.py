@@ -225,6 +225,7 @@ def get_cfg_defaults() -> ConfigNode:
         dict(
             mesh_shape=[-1, 1],          # (data, model); -1 = all devices
             mesh_axis_names=["data", "model"],
+            tp_min_channels=128,         # min out-dim for model-axis sharding
             compute_dtype="bfloat16",     # activations/matmuls on MXU
             param_dtype="float32",
             sample_remat=True,            # jax.checkpoint per sampling step

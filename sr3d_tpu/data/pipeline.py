@@ -10,8 +10,6 @@ compute (SURVEY.md §2.6 "LMDB → double-buffered device batches").
 from __future__ import annotations
 
 import collections
-import queue
-import threading
 from typing import Any, Callable, Iterator
 
 import jax
@@ -71,35 +69,32 @@ class BatchLoader:
                 for i in range(nb)]
 
     def epoch(self) -> Iterator[dict]:
-        """One pass over the dataset."""
+        """One pass over the dataset.
+
+        With ``num_workers`` > 0, that many pool threads decode batches
+        concurrently (PIL/numpy decode releases the GIL); delivery order is
+        deterministic (submission order) and at most ``num_workers + 2``
+        batches are in flight.
+        """
         batches = self._index_batches()
         if self.num_workers == 0:
             for b in batches:
                 yield self.collate([self.dataset[int(i)] for i in b])
             return
 
-        q: queue.Queue = queue.Queue(maxsize=4)
-        stop = threading.Event()
+        from concurrent.futures import ThreadPoolExecutor
 
-        def worker():
-            try:
-                for b in batches:
-                    if stop.is_set():
-                        return
-                    q.put(self.collate([self.dataset[int(i)] for i in b]))
-            finally:
-                q.put(None)
+        def load(b):
+            return self.collate([self.dataset[int(i)] for i in b])
 
-        t = threading.Thread(target=worker, daemon=True)
-        t.start()
-        try:
-            while True:
-                batch = q.get()
-                if batch is None:
-                    return
-                yield batch
-        finally:
-            stop.set()
+        inflight: collections.deque = collections.deque()
+        with ThreadPoolExecutor(max_workers=self.num_workers) as ex:
+            for b in batches:
+                inflight.append(ex.submit(load, b))
+                if len(inflight) > self.num_workers + 2:
+                    yield inflight.popleft().result()
+            while inflight:
+                yield inflight.popleft().result()
 
     def __iter__(self) -> Iterator[dict]:
         """Endless epoch-cycling iterator (the trainer counts steps, not

@@ -70,21 +70,22 @@ def pjit_sample(sample_fn: Callable, mesh: Mesh, cond_ndim: int = 4):
 
 
 def tp_param_sharding(mesh: Mesh, params, axis: str = "model",
-                      min_size: int = 2):
+                      min_size: int = 2, min_channels: int = 128):
     """NamedSharding pytree sharding weight matrices over the model axis.
 
     Conv kernels [kh,kw,I,O] and Dense kernels [I,O] shard their output
-    (last) dim over ``axis`` when divisible; everything else replicates.
-    GSPMD propagates the activation shardings and inserts the all-gathers /
-    reduce-scatters — no manual collectives (scaling-book recipe: annotate,
-    let XLA place collectives on ICI).
+    (last) dim over ``axis`` when divisible and at least ``min_channels``
+    wide (narrow layers aren't worth the gather traffic); everything else
+    replicates.  GSPMD propagates the activation shardings and inserts the
+    all-gathers / reduce-scatters — no manual collectives (scaling-book
+    recipe: annotate, let XLA place collectives on ICI).
     """
     n = mesh.shape[axis]
 
     def rule(x):
         shape = np.shape(x)
         if len(shape) >= 2 and n >= min_size and shape[-1] % n == 0 \
-                and shape[-1] >= 128:
+                and shape[-1] >= min_channels:
             spec = [None] * (len(shape) - 1) + [axis]
             return NamedSharding(mesh, P(*spec))
         return NamedSharding(mesh, P())
@@ -92,17 +93,23 @@ def tp_param_sharding(mesh: Mesh, params, axis: str = "model",
     return jax.tree.map(rule, params)
 
 
-def shard_state_dp_tp(mesh: Mesh, state, params_path=("params",)):
-    """Shard a JointTrainState/SRTrainState: params (and matching optimizer
-    moments) TP-sharded, everything else replicated.  Optimizer moment trees
-    mirror the param tree, so the same rule applies leaf-wise by shape."""
+def state_shardings(mesh: Mesh, state, min_channels: int = 128):
+    """NamedSharding pytree for a JointTrainState/SRTrainState: weight
+    matrices (and the optimizer moments mirroring them, matched leaf-wise by
+    shape) TP-sharded over the ``model`` axis, everything else replicated.
+    With a 1-wide model axis this is fully replicated (pure DP)."""
     def rule(x):
         shape = np.shape(x)
         n = mesh.shape["model"]
         if len(shape) >= 2 and n >= 2 and shape[-1] % n == 0 \
-                and shape[-1] >= 128:
+                and shape[-1] >= min_channels:
             return NamedSharding(mesh, P(*([None] * (len(shape) - 1)
                                            + ["model"])))
         return NamedSharding(mesh, P())
 
-    return jax.device_put(state, jax.tree.map(rule, state))
+    return jax.tree.map(rule, state)
+
+
+def shard_state_dp_tp(mesh: Mesh, state, min_channels: int = 128):
+    """Lay out a train state on the mesh per :func:`state_shardings`."""
+    return jax.device_put(state, state_shardings(mesh, state, min_channels))

@@ -23,6 +23,7 @@ from ..eval.export import export_prediction
 from ..eval.metrics import calculate_psnr, calculate_ssim
 from ..ops.image import tensor_to_uint8
 from ..parallel import mesh as mesh_lib
+from ..parallel import steps as steps_lib
 from .checkpoint import CheckpointManager
 from .joint import (
     JointModules,
@@ -78,10 +79,27 @@ class Trainer:
 
         ema_cfg = (cfg.sr.train.ema_scheduler.to_dict()
                    if cfg.sr.train.ema_scheduler else None)
+        # Mesh-parallel train step: state TP-sharded (replicated when the
+        # model axis is 1), batch DP-sharded over the data axis, modules/rng
+        # replicated.  XLA inserts the psum gradient reduction for the
+        # sharded batch — no manual collectives (SURVEY.md §2.7).
         # modules is a traced pytree arg (never closed over — its FLAME
-        # buffers would become giant HLO constants); state (argnum 1) donated
+        # buffers would become giant HLO constants); state (argnum 1) donated.
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        self._repl = NamedSharding(self.mesh, P())
+        self._batch_sharding = NamedSharding(self.mesh, P(mesh_lib.DATA_AXIS))
+        self._state_shardings = steps_lib.state_shardings(
+            self.mesh, self.state,
+            min_channels=int(cfg.tpu.get("tp_min_channels", 128)))
+        self.state = jax.device_put(self.state, self._state_shardings)
+        self.modules = jax.device_put(self.modules, self._repl)
         self._train_step = jax.jit(
-            make_train_step(self.opt, ema_cfg), donate_argnums=1)
+            make_train_step(self.opt, ema_cfg),
+            in_shardings=(self._repl, self._state_shardings,
+                          self._batch_sharding, self._repl),
+            out_shardings=(self._state_shardings, self._repl),
+            donate_argnums=1)
         self._val_step = jax.jit(make_val_step())
 
         self.ckpt = CheckpointManager(self.ckpt_dir)
@@ -108,7 +126,8 @@ class Trainer:
                 metadata_like={"global_step": 0, "epoch": 0})
         except FileNotFoundError:
             return False
-        self.state = restored["state"]
+        # restored arrays land on the default device; re-lay them out
+        self.state = jax.device_put(restored["state"], self._state_shardings)
         self.global_step = int(restored["meta"]["global_step"])
         self.epoch = int(restored["meta"]["epoch"])
         logger.info("resumed from step %d", self.global_step)
@@ -167,14 +186,32 @@ class Trainer:
         ckpt_steps = int(cfg.train.checkpoint_steps)
         eval_steps = int(cfg.train.eval_steps)
 
-        it = iter(self.train_loader)
+        dp = int(self.mesh.shape[mesh_lib.DATA_AXIS])
+
+        def jit_batches():
+            for raw in self.train_loader:
+                batch = self.prepare_batch(raw)
+                jit_batch = {k: batch[k] for k in ("HR", "SR", "flame_shape")
+                             if k in batch}
+                n = next(iter(jit_batch.values())).shape[0]
+                if n % dp != 0:
+                    raise ValueError(
+                        f"flattened batch {n} not divisible by the mesh's "
+                        f"data axis ({dp}); adjust mica.datasets.batch_size/K "
+                        f"or tpu.mesh_shape")
+                yield jit_batch
+
+        # host decode overlaps device compute: batches are DP-laid-out on
+        # the mesh while the previous step runs
+        from ..data.pipeline import prefetch_to_device
+
+        it = prefetch_to_device(jit_batches(),
+                                size=int(self.cfg.tpu.prefetch_depth),
+                                sharding=self._batch_sharding)
         t0 = time.time()
         window = []
         while self.global_step < n_iter:
-            raw = next(it)
-            batch = self.prepare_batch(raw)
-            jit_batch = {k: batch[k] for k in ("HR", "SR", "flame_shape")
-                         if k in batch}
+            jit_batch = next(it)
             self.state, metrics = self._train_step(
                 self.modules, self.state, jit_batch, self._next_rng())
             self.global_step += 1

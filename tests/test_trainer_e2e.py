@@ -38,6 +38,79 @@ def make_cfg(root: Path):
     return cfg
 
 
+def test_trainer_dp_tp_matches_single_device(workspace, tmp_path):
+    """The production Trainer's mesh step (dp=4 × tp=2 over all 8 virtual
+    devices, TP actually sharding via tp_min_channels=16) computes the same
+    losses as a single-device run on identical data/seed, and its loss
+    gradients (isolated from Adam's near-zero sign amplification via one SGD
+    step through the same step factory + shardings) match tightly."""
+    import jax
+    import optax
+
+    from sr3d_tpu.parallel import steps as steps_lib
+    from sr3d_tpu.train.joint import make_train_step
+    from sr3d_tpu.train.trainer import Trainer
+
+    assert len(jax.devices()) >= 8
+
+    def run(mesh_shape, out, n_steps=3):
+        cfg = make_cfg(workspace)
+        cfg.output_dir = str(tmp_path / out)
+        cfg.tpu.mesh_shape = list(mesh_shape)
+        cfg.tpu.tp_min_channels = 16
+        cfg.tpu.compute_dtype = "float32"
+        trainer = Trainer(cfg)
+        trainer.prepare_data()
+
+        # one SGD step through the same step factory + trainer shardings,
+        # from the freshly-initialised (identical) state: params move exactly
+        # -lr*grad, so layouts must agree tightly
+        sgd = optax.sgd(0.01)
+        st = trainer.state._replace(opt_state=sgd.init(trainer.state.params),
+                                    ema=None)
+        sh = steps_lib.state_shardings(trainer.mesh, st, min_channels=16)
+        st = jax.device_put(st, sh)
+        step = jax.jit(make_train_step(sgd),
+                       in_shardings=(trainer._repl, sh,
+                                     trainer._batch_sharding, trainer._repl),
+                       out_shardings=(sh, trainer._repl))
+        raw = next(iter(trainer.train_loader))
+        batch = trainer.prepare_batch(raw)
+        jit_batch = {k: batch[k] for k in ("HR", "SR", "flame_shape")}
+        jit_batch = {k: jax.device_put(v, trainer._batch_sharding)
+                     for k, v in jit_batch.items()}
+        st2, _ = step(trainer.modules, st, jit_batch,
+                      jax.device_put(jax.random.PRNGKey(7), trainer._repl))
+        sgd_params = jax.device_get(st2.params)
+
+        losses = []
+        orig = trainer._train_step
+
+        def recording_step(*args):
+            state, metrics = orig(*args)
+            losses.append({k: float(v) for k, v in metrics.items()})
+            return state, metrics
+
+        trainer._train_step = recording_step
+        trainer.training_step(max_steps=n_steps)
+        return losses, sgd_params, trainer
+
+    losses_m, sgd_params_m, tr_multi = run((4, 2), "multi")
+    # tp=2 must actually shard some state leaf over the model axis
+    sharded = [s for s in jax.tree.leaves(tr_multi._state_shardings)
+               if any(ax is not None for ax in s.spec)]
+    assert sharded, "no state leaf is model-axis sharded at tp=2"
+    losses_s, sgd_params_s, _ = run((1, 1), "single")
+
+    for lm, ls in zip(losses_m, losses_s):
+        for k in lm:
+            np.testing.assert_allclose(lm[k], ls[k], rtol=2e-3, err_msg=k)
+    for a, b in zip(jax.tree.leaves(sgd_params_m),
+                    jax.tree.leaves(sgd_params_s)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+
+
 def test_train_checkpoint_resume_val(workspace):
     from sr3d_tpu.train.trainer import Trainer
 
