@@ -47,6 +47,31 @@ def build_val(cfg):
     return ConcatDataset(sets)
 
 
+class Subset:
+    """Index-selected view of a dataset (torch.utils.data.Subset analogue)."""
+
+    def __init__(self, dataset, indices):
+        self.dataset = dataset
+        self.indices = list(int(i) for i in indices)
+
+    def __len__(self):
+        return len(self.indices)
+
+    def __getitem__(self, idx):
+        return self.dataset[self.indices[idx]]
+
+
+def random_split(dataset, train_frac: float = 0.8, seed: int = 0):
+    """Seeded train/val split (reference lib/trainer_temp.py:585-588:
+    torch random_split 80/20 of the joint dataset, generator-seeded)."""
+    import numpy as _np
+
+    n = len(dataset)
+    idx = _np.random.RandomState(seed).permutation(n)
+    n_train = int(train_frac * n)
+    return Subset(dataset, idx[:n_train]), Subset(dataset, idx[n_train:])
+
+
 class ConcatDataset:
     """Minimal torch-free ConcatDataset."""
 

@@ -99,6 +99,18 @@ def calculate_ssim(img1: np.ndarray, img2: np.ndarray) -> float:
     raise ValueError("Wrong input image dimensions.")
 
 
+def save_img(img: np.ndarray, img_path: str) -> None:
+    """Write a uint8 RGB (HWC) image as PNG (reference core/metrics.py:53-71
+    ``save_img``: the RGB→BGR swap there compensates cv2's BGR writer — the
+    file on disk is the same RGB image PIL writes directly)."""
+    from PIL import Image
+
+    img = np.asarray(img)
+    if img.dtype != np.uint8:
+        img = np.clip(img, 0, 255).astype(np.uint8)
+    Image.fromarray(img).save(img_path)
+
+
 # --------------------------------------------------------------------------
 # device twins (jit-compatible, float32)
 # --------------------------------------------------------------------------

@@ -53,6 +53,8 @@ class Validator:
 
         total = float(np.mean(list(per_dataset.values()))) \
             if per_dataset else 0.0
+        # BestModel returns the list of improved/saved tags (empty on the
+        # baseline-setting first call — reference best_model.py:63-71)
         improved = bool(self.best_model(total)) if self.best_model else False
         result = {"loss": total, "per_dataset": per_dataset,
                   "improved": improved,

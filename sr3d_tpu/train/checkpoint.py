@@ -25,6 +25,31 @@ except Exception:  # pragma: no cover
     _HAS_ORBAX = False
 
 
+def save_state_npz(path: str | os.PathLike, state: Any,
+                   metadata: dict | None = None) -> None:
+    """Single-file named checkpoint (the ``best_model.tar`` analogue —
+    reference lib/trainer_temp.py:478-504, best_model.py:72-106): the state
+    pytree's leaves + numeric metadata in one ``.npz``."""
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    leaves = jax.tree_util.tree_leaves({"state": state,
+                                        "meta": metadata or {}})
+    np.savez(path, **{f"leaf_{i}": np.asarray(x)
+                      for i, x in enumerate(leaves)})
+
+
+def load_state_npz(path: str | os.PathLike, target: Any,
+                   metadata_like: dict | None = None) -> dict:
+    """Inverse of :func:`save_state_npz`; restores into ``target``'s
+    structure. Returns ``{"state": ..., "meta": ...}``."""
+    data = np.load(path, allow_pickle=True)
+    leaves = [data[f"leaf_{i}"] for i in range(
+        sum(1 for k in data.files if k.startswith("leaf_")))]
+    _, treedef = jax.tree_util.tree_flatten(
+        {"state": target, "meta": metadata_like or {}})
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
 class CheckpointManager:
     """Thin wrapper: save/restore the JointTrainState + metadata."""
 

@@ -334,6 +334,36 @@ def make_train_step(opt: optax.GradientTransformation,
     return train_step
 
 
+def make_eval_step():
+    """Returns jittable ``eval_step(modules, state, batch, rng) -> metrics``
+    computing the no-grad combined validation losses the reference's
+    ``evaluate_MICA`` uses (lib/trainer_temp.py:464-476: the joint forward in
+    phase='val', l_sr + l_mica, combined = sum).  Sampling uses the quantised
+    hand-off (reference val path) regardless of variant."""
+
+    def eval_step(modules: JointModules, state: JointTrainState, batch, rng):
+        k_loss, k_sample = jax.random.split(rng)
+        hr, cond = batch["HR"], batch["SR"]
+        denoise = _sr_denoise_fn(modules, state.params["sr"])
+        l_sr = p_losses_continuous(
+            denoise, modules.sched_train, hr, cond, k_loss,
+            loss_type=modules.loss_type) / hr.size
+        sample = p_sample_loop(denoise, modules.sched_train, cond, k_sample,
+                               remat=modules.sample_remat)
+        _, blob = sr_to_mica_inputs(
+            sample.final, image_size=modules.image_size,
+            blob_size=modules.blob_size)
+        emb, _ = encode_mica(modules, state.params, state.arcface_stats,
+                             blob, train=False)
+        pred_verts, _ = decode_mica(modules, state.params, emb)
+        gt_verts = gt_flame_vertices(modules, batch["flame_shape"])
+        l_mica = masking_ops.masked_vertex_l1(
+            pred_verts, gt_verts, modules.vertex_weights)
+        return {"l_sr": l_sr, "l_mica": l_mica, "combined": l_sr + l_mica}
+
+    return eval_step
+
+
 def make_val_step(use_ema: bool = False):
     """Returns jittable ``val_step(modules, state, batch, rng) -> outputs``
     mirroring ``test_val`` (reference model/sr3d/model.py:368-439): full

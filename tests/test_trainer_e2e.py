@@ -35,7 +35,37 @@ def make_cfg(root: Path):
     cfg.sr.datasets.val.dataroot = str(root / "eval")
     cfg.train.checkpoint_steps = 4
     cfg.train.log_steps = 2
+    cfg.mica.train.eval_steps = 4  # evaluate_MICA fires once in a 5-step run
     return cfg
+
+
+def test_best_model_reference_sequence():
+    """Hand-computed selection sequence matching the reference tracker
+    (lib/MICA/utils/best_model.py:63-97, N=2)."""
+    from sr3d_tpu.train.trainer import BestModel
+
+    saved = []
+    bm = BestModel(n=2, save_fn=saved.append)
+    assert bm(5.0, 4.0) == []          # first call: baselines only
+    # a=3 beats 4 → best_model_1; running = 4/2 + 3/2 = 3.5 < inf → _3
+    assert bm(6.0, 3.0) == ["best_model_1", "best_model_3"]
+    # w=4 beats 5 → best_model_0; running = 3.5/2 + 3.6/2 = 3.55 > 3.5
+    assert bm(4.0, 3.6) == ["best_model_0"]
+    # a=2 beats 3 → _1; running = 3.55/2 + 2/2 = 2.775 < 3.5 → _3
+    assert bm(4.5, 2.0) == ["best_model_1", "best_model_3"]
+    assert np.isclose(bm.running_average, 2.775)
+    assert saved == ["best_model_1", "best_model_3", "best_model_0",
+                     "best_model_1", "best_model_3"]
+    # NoW hook: baseline first, then improvement saves best_model_now
+    assert bm.now(1.0, 1.0, 0.0) is False
+    assert bm.now(0.5, 0.9, 0.0) is True
+    assert saved[-1] == "best_model_now"
+    # state round-trips
+    bm2 = BestModel(n=2)
+    bm2.load_state_dict(bm.state_dict())
+    assert bm2.counter == bm.counter
+    assert bm2.running_average == bm.running_average
+    assert bm2.now_mean == bm.now_mean
 
 
 def test_trainer_dp_tp_matches_single_device(workspace, tmp_path):
@@ -143,3 +173,13 @@ def test_train_checkpoint_resume_val(workspace):
     # metrics JSONL sink got train + val scalars
     logged = (out_dir / "logs" / "metrics.jsonl").read_text()
     assert "train/loss" in logged and "val/psnr" in logged
+    # evaluate_MICA fired at step 4: combined-loss val + best-model artifacts
+    assert "val_mica/combined" in logged
+    assert (out_dir / "best_model.npz").exists()
+    assert (out_dir / "best_model.txt").read_text().startswith("<epoch:")
+    # val-phase image exports next to the mesh exports (reference
+    # model/sr3d/model.py:417-425)
+    pngs = list((out_dir / "results").rglob("*_sr.png"))
+    assert pngs, "val must export {name}_sr.png"
+    assert list((out_dir / "results").rglob("*_inf.png"))
+    assert list((out_dir / "results").rglob("*_lr.png"))
