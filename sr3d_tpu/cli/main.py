@@ -95,6 +95,7 @@ def main(argv=None):
 
             modules = build_joint(cfg)
             trainer = AlternatingTrainer(cfg, modules)
+            trainer.load_checkpoint()
             ds = data_lib.build_train(cfg)
             loader = data_lib.BatchLoader(
                 ds, batch_size=int(cfg.mica.datasets.batch_size),

@@ -35,6 +35,7 @@ def get_cfg_defaults() -> ConfigNode:
     c.path.log = "logs"
     c.path.tb_logger = "tb_logger"
     c.path.checkpoint = "checkpoint"
+    c.path.checkpoint_sr = "checkpoint_sr"  # SR-only I*_E*_{gen,opt} pairs
 
     # ------------------------------------------------------------------ SR
     sr = ConfigNode()

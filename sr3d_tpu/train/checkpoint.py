@@ -50,6 +50,28 @@ def load_state_npz(path: str | os.PathLike, target: Any,
     return jax.tree_util.tree_unflatten(treedef, leaves)
 
 
+def load_leaves_into(path: str | os.PathLike, target: Any) -> Any:
+    """Load a flat ``leaf_i`` .npz (the ``utils/convert.py`` output format)
+    into ``target``'s pytree structure, validating leaf count and shapes.
+
+    This is how converted reference torch weights enter the framework
+    (reference lib/trainer_temp.py:195-221 loads ``_gen.pth`` into the joint
+    trainer; here the converted ``.npz`` loads into ``params['sr']``)."""
+    data = np.load(path, allow_pickle=True)
+    leaves = [data[f"leaf_{i}"] for i in range(
+        sum(1 for k in data.files if k.startswith("leaf_")))]
+    t_leaves, treedef = jax.tree_util.tree_flatten(target)
+    if len(leaves) != len(t_leaves):
+        raise ValueError(
+            f"{path}: {len(leaves)} arrays, target has {len(t_leaves)}")
+    for i, (a, b) in enumerate(zip(leaves, t_leaves)):
+        if np.shape(a) != np.shape(b):
+            raise ValueError(
+                f"{path}: leaf {i} shape {np.shape(a)} != target "
+                f"{np.shape(b)}")
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
 class CheckpointManager:
     """Thin wrapper: save/restore the JointTrainState + metadata."""
 

@@ -53,6 +53,51 @@ class AlternatingTrainer:
         self._rng, k = jax.random.split(self._rng)
         return k
 
+    # -- checkpoints (reference lib/trainer.py:185-220: separate SR pair +
+    # MICA model.tar) --------------------------------------------------------
+
+    def _dirs(self):
+        from pathlib import Path
+
+        root = Path(self.cfg.output_dir) / (self.cfg.get("name") or "default")
+        return root, root / str(self.cfg.path.checkpoint_sr)
+
+    def save_checkpoint(self) -> None:
+        """SR branch → ``checkpoint_sr/I{step}_E0_{gen,opt}.npz``; MICA
+        branch + counters → ``model_mica.npz`` (the reference's
+        ``model_mica.tar``, lib/trainer.py:209-220)."""
+        from .checkpoint import save_state_npz
+
+        root, sr_dir = self._dirs()
+        self.sr.save_network(sr_dir, self.sr_state, epoch=0,
+                             iter_step=self.step)
+        save_state_npz(root / "model_mica.npz",
+                       jax.device_get(self.mica_state),
+                       {"global_step": self.step})
+        logger.info("legacy checkpoint saved @ step %d", self.step)
+
+    def load_checkpoint(self) -> bool:
+        """Auto-resume both branches; ``self.step`` comes from the MICA
+        side's counter (reference lib/trainer.py:195-207)."""
+        from .checkpoint import load_state_npz
+
+        root, sr_dir = self._dirs()
+        mica_path = root / "model_mica.npz"
+        resumed = False
+        if mica_path.exists():
+            restored = load_state_npz(mica_path, self.mica_state,
+                                      {"global_step": 0})
+            self.mica_state = restored["state"]
+            self.step = int(restored["meta"]["global_step"])
+            resumed = True
+        if sr_dir.is_dir() and self.sr.latest_prefix(sr_dir):
+            self.sr_state, _, _ = self.sr.load_network(
+                self.sr_state, sr_dir, phase=str(self.cfg.phase))
+            resumed = True
+        if resumed:
+            logger.info("legacy resume @ step %d", self.step)
+        return resumed
+
     def training_step(self, batch: dict) -> dict:
         """One alternating iteration (reference lib/trainer.py:273-420):
         SR update → sample SR for this batch → arcface blobs → MICA update."""
@@ -74,11 +119,14 @@ class AlternatingTrainer:
                 "l_mica": float(mica_metrics["loss"])}
 
     def fit(self, loader, max_steps: int, val_batches=None,
-            val_freq: int = 0, log_every: int = 10) -> None:
+            val_freq: int = 0, log_every: int = 10,
+            checkpoint_every: int | None = None) -> None:
         """Step-counted loop over a BatchLoader of joint batches
         (reference lib/trainer.py:235-605 outer loop)."""
         import numpy as np
 
+        if checkpoint_every is None:
+            checkpoint_every = int(self.cfg.train.checkpoint_steps)
         it = iter(loader)
         while self.step < max_steps:
             raw = next(it)
@@ -94,6 +142,10 @@ class AlternatingTrainer:
                             self.step, m["l_pix"], m["l_mica"])
             if val_freq and val_batches and self.step % val_freq == 0:
                 self.validate_sr(val_batches)
+            if checkpoint_every and self.step % checkpoint_every == 0:
+                self.save_checkpoint()
+        if checkpoint_every:
+            self.save_checkpoint()
 
     def validate_sr(self, val_batches) -> float:
         """Periodic SR-only PSNR validation (reference

@@ -78,6 +78,81 @@ class SRModel:
             opt_state=self.opt.init(params),
             ema=ema_init(params) if self.ema_cfg else None)
 
+    # -- SR-only checkpoint format (reference model/sr/model.py:139-196) --
+
+    def save_network(self, ckpt_dir, state: SRTrainState, epoch: int,
+                     iter_step: int) -> str:
+        """Write ``I{iter}_E{epoch}_gen.npz`` (generator params) +
+        ``_opt.npz`` (optimizer state, epoch, iter) — the reference's
+        SR-only checkpoint pair (model/sr/model.py:139-162)."""
+        from pathlib import Path
+
+        import numpy as np
+
+        from .checkpoint import save_state_npz
+
+        ckpt_dir = Path(ckpt_dir)
+        ckpt_dir.mkdir(parents=True, exist_ok=True)
+        prefix = ckpt_dir / f"I{iter_step}_E{epoch}"
+        save_state_npz(f"{prefix}_gen.npz", jax.device_get(state.params))
+        # counters as named keys so they're readable without the optimizer
+        # template (the joint trainer's warm start reads only these)
+        leaves = jax.tree_util.tree_leaves(jax.device_get(state.opt_state))
+        np.savez(f"{prefix}_opt.npz", epoch=epoch, iter=iter_step,
+                 **{f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)})
+        return str(prefix)
+
+    @staticmethod
+    def latest_prefix(ckpt_dir) -> str | None:
+        """Latest ``I{iter}_E{epoch}`` prefix in a checkpoint_sr dir
+        (the reference's sorted-glob auto-resume, model/sr/model.py:164-177),
+        picked by highest iter (lexicographic sort misorders I9/I10)."""
+        from pathlib import Path
+
+        gens = list(Path(ckpt_dir).glob("I*_E*_gen.npz"))
+        if not gens:
+            return None
+
+        def it(p):
+            return int(p.name.split("_")[0][1:])
+        return str(max(gens, key=it))[:-len("_gen.npz")]
+
+    def load_network(self, state: SRTrainState, prefix_or_dir,
+                     phase: str = "train") -> tuple[SRTrainState, int, int]:
+        """Load params (always) and optimizer state + counters (train phase,
+        when present) from an ``I*_E*`` prefix or a checkpoint dir.
+        Returns ``(state, begin_step, begin_epoch)``."""
+        import os
+        from pathlib import Path
+
+        from .checkpoint import load_state_npz
+
+        prefix = str(prefix_or_dir)
+        if Path(prefix).is_dir():
+            latest = self.latest_prefix(prefix)
+            if latest is None:
+                raise FileNotFoundError(f"no I*_E*_gen.npz in {prefix}")
+            prefix = latest
+        params = load_state_npz(f"{prefix}_gen.npz", state.params)["state"]
+        # EMA restarts from the loaded params (gen.pth holds only the net)
+        ema = ema_init(params) if state.ema is not None else None
+        state = state._replace(params=params, ema=ema)
+        begin_step, begin_epoch = 0, 0
+        opt_path = f"{prefix}_opt.npz"
+        if phase == "train" and os.path.exists(opt_path):
+            import numpy as np
+
+            data = np.load(opt_path, allow_pickle=True)
+            begin_step = int(data["iter"])
+            begin_epoch = int(data["epoch"])
+            leaves = [data[f"leaf_{i}"] for i in range(
+                sum(1 for k in data.files if k.startswith("leaf_")))]
+            _, treedef = jax.tree_util.tree_flatten(state.opt_state)
+            state = state._replace(
+                opt_state=jax.tree_util.tree_unflatten(treedef, leaves),
+                step=jnp.asarray(begin_step, jnp.int32))
+        return state, begin_step, begin_epoch
+
     # -- compiled steps --------------------------------------------------
 
     def make_train_step(self):

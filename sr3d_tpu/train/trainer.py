@@ -186,14 +186,32 @@ class Trainer:
         return k
 
     def load_checkpoint(self, path_or_step=None) -> bool:
-        """Auto-resume from latest (reference lib/trainer_temp.py:148-155) or
-        explicit step."""
-        try:
-            restored = self.ckpt.restore(
-                path_or_step, self.state,
-                metadata_like={"global_step": 0, "epoch": 0})
-        except FileNotFoundError:
-            return False
+        """Auto-resume from latest (reference lib/trainer_temp.py:148-155),
+        an explicit step number, or an explicit ``.npz`` file path (a
+        best_model/named snapshot — the reference's ``-ckt`` override,
+        lib/trainer_temp.py:165-167)."""
+        from .checkpoint import load_state_npz
+
+        if isinstance(path_or_step, str) and path_or_step.endswith(".npz"):
+            if not Path(path_or_step).exists():
+                return False
+            try:
+                restored = load_state_npz(path_or_step, self.state,
+                                          {"global_step": 0, "epoch": 0})
+            except (ValueError, KeyError):
+                # not a full train state: a converted reference UNet .npz
+                # (utils/convert.py) passed via -ckt loads the SR branch only
+                return self.load_sr_pretrained(path_or_step)
+        else:
+            if isinstance(path_or_step, str):
+                path_or_step = int(path_or_step) if path_or_step.isdigit() \
+                    else None
+            try:
+                restored = self.ckpt.restore(
+                    path_or_step, self.state,
+                    metadata_like={"global_step": 0, "epoch": 0})
+            except FileNotFoundError:
+                return False
         # restored arrays land on the default device; re-lay them out
         self.state = jax.device_put(restored["state"], self._state_shardings)
         self.global_step = int(restored["meta"]["global_step"])
@@ -205,6 +223,40 @@ class Trainer:
         self.ckpt.save(self.global_step, self.state,
                        metadata={"global_step": self.global_step,
                                  "epoch": self.epoch})
+
+    def load_sr_pretrained(self, prefix: str) -> bool:
+        """Warm-start the joint trainer's SR branch from an SR-only
+        checkpoint pair (``{prefix}_gen.npz`` [+ ``_opt.npz`` counters]) or
+        directly from a converted reference ``.npz``
+        (``utils/convert.py --kind sr3_unet`` output).  Reference:
+        lib/trainer_temp.py:195-221 (loads ``_gen.pth``/``_opt.pth`` into the
+        joint trainer).  Optimizer *moments* are not transferred — the joint
+        multi_transform topology differs from the SR-only Adam — only the
+        step/epoch counters (noted in PARITY.md)."""
+        from .checkpoint import load_leaves_into, load_state_npz
+
+        gen_path = f"{prefix}_gen.npz"
+        params = dict(self.state.params)
+        if Path(gen_path).exists():
+            params["sr"] = load_state_npz(
+                gen_path, self.state.params["sr"])["state"]
+            opt_path = f"{prefix}_opt.npz"
+            if Path(opt_path).exists() and self.cfg.phase == "train":
+                data = np.load(opt_path, allow_pickle=True)
+                self.global_step = int(data["iter"])
+                self.epoch = int(data["epoch"])
+                logger.info("[SR] resumed counters from %s (step %d)",
+                            opt_path, self.global_step)
+        elif prefix.endswith(".npz") and Path(prefix).exists():
+            # converted reference UNet weights (flat leaf_i npz)
+            params["sr"] = load_leaves_into(prefix, self.state.params["sr"])
+        else:
+            logger.info("[SR] no pretrained model found at %s", prefix)
+            return False
+        self.state = jax.device_put(self.state._replace(params=params),
+                                    self._state_shardings)
+        logger.info("[SR] warm-started SR branch from %s", prefix)
+        return True
 
     # ------------------------------------------------------------------
     def prepare_batch(self, raw: dict) -> dict:
@@ -445,9 +497,13 @@ class Trainer:
     def fit(self, max_steps: int | None = None):
         self.prepare_data()
         if self.cfg.checkpoint:
-            self.load_checkpoint(self.cfg.checkpoint)
+            loaded = self.load_checkpoint(self.cfg.checkpoint)
         else:
-            self.load_checkpoint()
+            loaded = self.load_checkpoint()
+        if not loaded and self.cfg.sr.get("pretrained_model_path"):
+            # staged workflow: pretrain SR → joint finetune (reference
+            # lib/trainer_temp.py:195-221)
+            self.load_sr_pretrained(str(self.cfg.sr.pretrained_model_path))
         if self.cfg.phase == "train":
             self.training_step(max_steps)
         else:

@@ -71,3 +71,162 @@ def test_numpy_fallback_roundtrip(tmp_path, monkeypatch):
                            metadata_like={"global_step": 0})
     np.testing.assert_allclose(np.asarray(restored["state"]["params"]["w"]),
                                7.0)
+
+
+# --------------------------------------------------------------------------
+# reference checkpoint format variants (VERDICT r1 #5)
+# --------------------------------------------------------------------------
+
+def _tiny_cfg():
+    from tests.test_branch_trainers import tiny_cfg
+    return tiny_cfg()
+
+
+def test_sr_only_save_autoresume(tmp_path):
+    """SR-only I{iter}_E{epoch}_{gen,opt}.npz pair round-trips params,
+    optimizer state, and counters (reference model/sr/model.py:139-196)."""
+    import jax
+
+    from sr3d_tpu.train.sr_only import SRModel
+
+    m = SRModel(_tiny_cfg(), dtype=jnp.float32)
+    state = m.init_state(jax.random.PRNGKey(0))
+    step = jax.jit(m.make_train_step())
+    batch = {"HR": jnp.ones((1, 16, 16, 3)) * 0.3,
+             "SR": jnp.zeros((1, 16, 16, 3))}
+    for i in range(2):
+        state, _ = step(state, batch, jax.random.PRNGKey(i))
+
+    ckpt = tmp_path / "checkpoint_sr"
+    m.save_network(ckpt, state, epoch=1, iter_step=2)
+    # a stale earlier checkpoint must lose to the newer one numerically
+    m.save_network(ckpt, m.init_state(jax.random.PRNGKey(9)),
+                   epoch=0, iter_step=1)
+    assert m.latest_prefix(ckpt).endswith("I2_E1")
+
+    fresh = m.init_state(jax.random.PRNGKey(5))
+    restored, begin_step, begin_epoch = m.load_network(fresh, ckpt)
+    assert (begin_step, begin_epoch) == (2, 1)
+    assert int(restored.step) == 2
+    for a, b in zip(jax.tree_util.tree_leaves(restored.params),
+                    jax.tree_util.tree_leaves(state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree_util.tree_leaves(restored.opt_state),
+                    jax.tree_util.tree_leaves(state.opt_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_latest_prefix_numeric_order(tmp_path):
+    """I10 > I9 despite lexicographic order."""
+    import jax
+
+    from sr3d_tpu.train.sr_only import SRModel
+
+    m = SRModel(_tiny_cfg(), dtype=jnp.float32)
+    state = m.init_state(jax.random.PRNGKey(0))
+    ckpt = tmp_path / "sr"
+    m.save_network(ckpt, state, epoch=0, iter_step=9)
+    m.save_network(ckpt, state, epoch=0, iter_step=10)
+    assert m.latest_prefix(ckpt).endswith("I10_E0")
+
+
+def _joint_trainer(tmp_path, cfg=None):
+    import jax
+
+    from sr3d_tpu.train.trainer import Trainer
+
+    cfg = cfg or _tiny_cfg()
+    cfg.output_dir = str(tmp_path / "out")
+    cfg.sr.datasets.train.r_resolution = 16
+    cfg.tpu.mesh_shape = [1, 1]
+    return Trainer(cfg), cfg
+
+
+def test_joint_warm_start_from_sr_pair(tmp_path):
+    """Joint trainer warm-starts its SR branch from an SR-only pair and
+    picks up the counters (reference lib/trainer_temp.py:195-221)."""
+    import jax
+
+    from sr3d_tpu.train.sr_only import SRModel
+
+    cfg = _tiny_cfg()
+    m = SRModel(cfg, dtype=jnp.float32)
+    sr_state = m.init_state(jax.random.PRNGKey(3))
+    prefix = m.save_network(tmp_path / "sr", sr_state, epoch=2, iter_step=7)
+
+    trainer, _ = _joint_trainer(tmp_path, cfg)
+    assert trainer.load_sr_pretrained(prefix)
+    assert trainer.global_step == 7 and trainer.epoch == 2
+    for a, b in zip(jax.tree_util.tree_leaves(trainer.state.params["sr"]),
+                    jax.tree_util.tree_leaves(sr_state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_joint_warm_start_from_converted_npz(tmp_path):
+    """A utils/convert.py-style flat leaf_i .npz loads through the same
+    warm-start path (and through cfg.sr.pretrained_model_path in fit)."""
+    import jax
+
+    trainer, cfg = _joint_trainer(tmp_path)
+    sr_params = trainer.state.params["sr"]
+    bumped = jax.tree.map(lambda x: np.asarray(x) + 1.0, sr_params)
+    leaves = jax.tree_util.tree_leaves(bumped)
+    npz = tmp_path / "converted_unet.npz"
+    np.savez(npz, treedef="ref",
+             **{f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)})
+
+    assert trainer.load_sr_pretrained(str(npz))
+    got = jax.tree_util.tree_leaves(trainer.state.params["sr"])
+    for a, b in zip(got, leaves):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # missing path returns False, leaves state untouched
+    assert not trainer.load_sr_pretrained(str(tmp_path / "nope"))
+
+
+def test_legacy_trainer_checkpoint_resume(tmp_path):
+    """AlternatingTrainer saves/resumes both branches
+    (reference lib/trainer.py:195-220)."""
+    import jax
+
+    from sr3d_tpu.train.joint import build_joint
+    from sr3d_tpu.train.legacy import AlternatingTrainer
+
+    cfg = _tiny_cfg()
+    cfg.output_dir = str(tmp_path / "out")
+    modules = build_joint(cfg)
+    tr = AlternatingTrainer(cfg, modules, dtype=jnp.float32)
+    rng = np.random.RandomState(0)
+    batch = {"HR": rng.uniform(-1, 1, (2, 16, 16, 3)).astype(np.float32),
+             "SR": rng.uniform(-1, 1, (2, 16, 16, 3)).astype(np.float32),
+             "flame_shape": rng.randn(2, 16).astype(np.float32)}
+    tr.training_step(batch)
+    tr.training_step(batch)
+    tr.save_checkpoint()
+
+    tr2 = AlternatingTrainer(cfg, modules, dtype=jnp.float32)
+    assert tr2.load_checkpoint()
+    assert tr2.step == 2
+    for a, b in zip(jax.tree_util.tree_leaves(tr2.mica_state.params),
+                    jax.tree_util.tree_leaves(tr.mica_state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree_util.tree_leaves(tr2.sr_state.params),
+                    jax.tree_util.tree_leaves(tr.sr_state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_ckt_flag_accepts_converted_npz(tmp_path):
+    """-ckt pointing at a converted UNet .npz loads the SR branch
+    (VERDICT r1 #5: converted reference weights usable end-to-end)."""
+    import jax
+
+    trainer, cfg = _joint_trainer(tmp_path)
+    bumped = jax.tree.map(lambda x: np.asarray(x) + 2.0,
+                          trainer.state.params["sr"])
+    leaves = jax.tree_util.tree_leaves(bumped)
+    npz = tmp_path / "conv.npz"
+    np.savez(npz, **{f"leaf_{i}": np.asarray(x)
+                     for i, x in enumerate(leaves)})
+    assert trainer.load_checkpoint(str(npz))
+    for a, b in zip(jax.tree_util.tree_leaves(trainer.state.params["sr"]),
+                    leaves):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
