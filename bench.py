@@ -21,10 +21,12 @@ Measurement note: the jitted function reduces to a scalar and the timer
 fetches it to host — ``block_until_ready`` alone under-reports through the
 axon tunnel (measured 2.0 "faces/s" async vs 1.18 with a real barrier).
 
-Perf accounting (measured on v5e-1): the 16→128 UNet is ~87 GFLOP/image →
-600-step sampling has a ~3.0 faces/s/chip compute ceiling at the chip's
-achievable 158 TFLOPs bf16 (measured via 8192³ matmul scan); current
-efficiency ≈ 39%.
+Perf accounting (round-2 trace + HLO attribution, PERF.md "Round 2"): the
+step is conv-rate-bound and runs at ≈96% of the per-shape hardware bound —
+the top-level O=64 convs cap at ~50 TF (the MXU's 128-lane output dim is
+half-filled; pure N=64 matmuls measure 35–48 TF), while the deeper
+C≥256 levels run at 150–190 TF ≈ peak.  The round-1 "8.9 ms floor" assumed
+a uniform 158 TF and was unreachable.
 """
 
 import json

@@ -60,6 +60,32 @@ def _gn_stats_pallas(x: jax.Array, row_tile: int = 16):
     return moments[:, 0], moments[:, 1]
 
 
+def _stats_matmul(x: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Per-channel (Σx, Σx²) over (H, W) as MXU matmuls.
+
+    XLA's convert_reduce fusions for these moments run at a fraction of HBM
+    rate on the target runtime (3.9 ms/step = 28% of sampling time in the
+    round-2 trace); a ones-vector dot (Σx) and the diagonal of the channel
+    Gram matrix (Σx²) stream the same bytes through the MXU instead.
+    Numerically this matches the f32 vector reduce: bf16 inputs enter the
+    MXU exactly and accumulation is f32 either way (modulo summation order).
+    """
+    B, H, W, C = x.shape
+    if H * W < C:
+        # deep levels (tiny spatial, wide channels): the C×C Gram wastes
+        # FLOPs/HBM on a small tensor — the plain reduce is already cheap
+        xf = x.astype(jnp.float32)
+        return jnp.sum(xf, axis=(1, 2)), jnp.sum(xf * xf, axis=(1, 2))
+    xr = x.reshape(B, H * W, C)  # minor dim unchanged: layout no-op
+    ones = jnp.ones((H * W,), x.dtype)
+    sum_c = jnp.einsum("bnc,n->bc", xr, ones,
+                       preferred_element_type=jnp.float32)
+    gram = jnp.einsum("bnc,bnd->bcd", xr, xr,
+                      preferred_element_type=jnp.float32)
+    sq_c = jnp.einsum("bcc->bc", gram)
+    return sum_c, sq_c
+
+
 def _group_onehot(C: int, G: int) -> jax.Array:
     """[C, G] channel→group one-hot map (channels grouped contiguously)."""
     chan_group = jax.lax.broadcasted_iota(jnp.int32, (C, G), 0) // (C // G)
@@ -86,8 +112,11 @@ def groupnorm_swish_reference(x: jax.Array, gamma: jax.Array, beta: jax.Array,
     # NOTE: a pallas stats kernel (_gn_stats_pallas) reads 2.7× faster than
     # XLA's convert_reduce fusions in isolation (1.45 vs 3.9 ms/step), but
     # splitting stats out of the XLA program broke surrounding fusions and
-    # REGRESSED the whole step 13.8 → 20.6 ms (measured trace).  Stats stay
-    # in XLA; the kernel remains available for a future fully-fused block.
+    # REGRESSED the whole step 13.8 → 20.6 ms (measured trace).  The same
+    # holds for MXU matmul stats (_stats_matmul: ones-dot + Gram diagonal):
+    # XLA lowered them to add_add/select_reduce/pad_maximum fusion chains and
+    # the step regressed 15.8 → 19.4 ms (round-2 trace).  Stats stay in XLA's
+    # own reduce fusion; the alternatives remain for the fused pallas block.
     xf = x.astype(jnp.float32)
     sum_c = jnp.sum(xf, axis=(1, 2))               # [B, C]
     sq_c = jnp.sum(xf * xf, axis=(1, 2))           # [B, C]

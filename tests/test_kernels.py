@@ -182,3 +182,27 @@ def test_attention_custom_vjp_matches_reference_grad():
         g_pal = jax.grad(loss_pal, argnums=(0, 1, 2))(q, k, v)
     for a, b in zip(g_ref, g_pal):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_fused_block_interpret_matches_reference():
+    """GN→swish→conv3×3 fused pallas block (kernels/fused_block.py) matches
+    the XLA chain, including SAME zero-padding semantics and the 128-lane
+    channel pad path (C=64 → Cp=128)."""
+    from sr3d_tpu.kernels.fused_block import (
+        fused_block_reference,
+        fused_gn_swish_conv3x3,
+    )
+
+    for (B, H, W, C, O, G) in [(2, 16, 16, 64, 64, 8), (1, 8, 24, 32, 64, 8),
+                               (2, 16, 16, 128, 64, 32)]:
+        x = jax.random.normal(jax.random.PRNGKey(0), (B, H, W, C),
+                              jnp.float32)
+        gamma = jax.random.uniform(jax.random.PRNGKey(1), (C,), jnp.float32,
+                                   0.5, 1.5)
+        beta = jax.random.normal(jax.random.PRNGKey(2), (C,)) * 0.1
+        w = jax.random.normal(jax.random.PRNGKey(3), (3, 3, C, O)) * 0.05
+        b = jax.random.normal(jax.random.PRNGKey(4), (O,)) * 0.1
+        ref = fused_block_reference(x, gamma, beta, w, b, G)
+        got = fused_gn_swish_conv3x3(x, gamma, beta, w, b, G, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-4)
