@@ -83,17 +83,103 @@ def rigid_align_7(src_lmk7: np.ndarray, dst_lmk7: np.ndarray):
     return s, R, t
 
 
-def now_distance(pred_verts_mm: np.ndarray, pred_lmk7_mm: np.ndarray,
-                 scan_points_mm: np.ndarray,
-                 scan_lmk7_mm: np.ndarray) -> dict:
-    """NoW-style error: 7-point rigid align pred→scan, then per-scan-point
-    nearest-neighbour distance to the aligned prediction (mm)."""
+def closest_point_on_triangles(p: np.ndarray, tri: np.ndarray) -> np.ndarray:
+    """Closest point on each triangle to each query point (vectorized
+    Ericson region test).  ``p`` broadcastable to tri[..., 0, :];
+    ``tri`` [..., 3, 3].  Returns [..., 3]."""
+    a, b, c = tri[..., 0, :], tri[..., 1, :], tri[..., 2, :]
+    ab, ac, ap = b - a, c - a, p - a
+    d1 = np.sum(ab * ap, -1)
+    d2 = np.sum(ac * ap, -1)
+    bp = p - b
+    d3 = np.sum(ab * bp, -1)
+    d4 = np.sum(ac * bp, -1)
+    cp = p - c
+    d5 = np.sum(ab * cp, -1)
+    d6 = np.sum(ac * cp, -1)
+    va = d3 * d6 - d5 * d4
+    vb = d5 * d2 - d1 * d6
+    vc = d1 * d4 - d3 * d2
+
+    denom_abc = np.where(va + vb + vc != 0, va + vb + vc, 1.0)
+    v_face = vb / denom_abc
+    w_face = vc / denom_abc
+    face_pt = a + ab * v_face[..., None] + ac * w_face[..., None]
+
+    # edge AB
+    denom_ab = np.where((d1 - d3) != 0, d1 - d3, 1.0)
+    t_ab = np.clip(d1 / denom_ab, 0.0, 1.0)
+    pt_ab = a + ab * t_ab[..., None]
+    # edge AC
+    denom_ac = np.where((d2 - d6) != 0, d2 - d6, 1.0)
+    t_ac = np.clip(d2 / denom_ac, 0.0, 1.0)
+    pt_ac = a + ac * t_ac[..., None]
+    # edge BC
+    denom_bc = np.where(((d4 - d3) + (d5 - d6)) != 0,
+                        (d4 - d3) + (d5 - d6), 1.0)
+    t_bc = np.clip((d4 - d3) / denom_bc, 0.0, 1.0)
+    pt_bc = b + (c - b) * t_bc[..., None]
+
+    out = face_pt
+    out = np.where(((vc <= 0) & (d1 >= 0) & (d3 <= 0))[..., None], pt_ab, out)
+    out = np.where(((vb <= 0) & (d2 >= 0) & (d6 <= 0))[..., None], pt_ac, out)
+    out = np.where(((va <= 0) & ((d4 - d3) >= 0) & ((d5 - d6) >= 0))[..., None],
+                   pt_bc, out)
+    out = np.where(((d1 <= 0) & (d2 <= 0))[..., None], a, out)
+    out = np.where(((d3 >= 0) & (d4 <= d3))[..., None], b, out)
+    out = np.where(((d6 >= 0) & (d5 <= d6))[..., None], c, out)
+    return out
+
+
+def point_to_surface_distance(points: np.ndarray, verts: np.ndarray,
+                              faces: np.ndarray, k: int = 16) -> np.ndarray:
+    """Per-point distance to the mesh *surface* (point-to-triangle), the
+    official NoW protocol's error measure — point-to-nearest-vertex
+    systematically overestimates it.  Candidate triangles come from a
+    KD-tree over triangle centroids (k per point; exact on face meshes
+    whose triangles are small relative to spacing)."""
+    tris = verts[faces]                                # [F,3,3]
+    if len(faces) <= 2048:
+        # exact: test every triangle (chunked over points)
+        out = np.empty(len(points))
+        for i in range(0, len(points), 4096):
+            p = points[i:i + 4096]
+            closest = closest_point_on_triangles(
+                p[:, None, :], tris[None, :, :, :])
+            out[i:i + 4096] = np.linalg.norm(
+                closest - p[:, None, :], axis=-1).min(axis=1)
+        return out
     from scipy.spatial import cKDTree
 
+    k = min(k, len(faces))
+    _, idx = cKDTree(tris.mean(1)).query(points, k=k)
+    idx = np.atleast_2d(idx)
+    if idx.shape[0] != len(points):
+        idx = idx.reshape(len(points), -1)
+    cand = tris[idx]                                   # [P,k,3,3]
+    closest = closest_point_on_triangles(points[:, None, :], cand)
+    d = np.linalg.norm(closest - points[:, None, :], axis=-1)
+    return d.min(axis=1)
+
+
+def now_distance(pred_verts_mm: np.ndarray, pred_lmk7_mm: np.ndarray,
+                 scan_points_mm: np.ndarray,
+                 scan_lmk7_mm: np.ndarray,
+                 faces: np.ndarray | None = None) -> dict:
+    """NoW error: 7-point rigid align pred→scan, then per-scan-point
+    distance to the aligned prediction (mm) — point-to-surface when
+    ``faces`` is given (the official protocol,
+    reference lib/MICA/micalib/tester.py:242-334 exports feed
+    now_evaluation's masked point-to-surface), else nearest-vertex."""
     s, R, t = rigid_align_7(pred_lmk7_mm, scan_lmk7_mm)
     aligned = (s * (R @ pred_verts_mm.T)).T + t
-    tree = cKDTree(aligned)
-    d, _ = tree.query(scan_points_mm, k=1)
+    if faces is not None:
+        d = point_to_surface_distance(scan_points_mm, aligned,
+                                      np.asarray(faces))
+    else:
+        from scipy.spatial import cKDTree
+
+        d, _ = cKDTree(aligned).query(scan_points_mm, k=1)
     return {"median": float(np.median(d)), "mean": float(np.mean(d)),
             "std": float(np.std(d))}
 
@@ -145,11 +231,55 @@ class Tester:
         logger.info("tester: exported %d predictions -> %s", len(keys), out)
         return len(keys)
 
+    def run_stirling(self, state, pictures_root: str | os.PathLike,
+                     out_dir: str | os.PathLike, batch: int = 8) -> dict:
+        """Stirling benchmark with the HQ/LQ split (reference
+        tester.py:198-286): walks
+        ``{root}/Real_images__Subset_2D_FG2018/{HQ,LQ}/*.jpg``, groups by
+        the 9-char uppercase actor prefix, and exports
+        ``predicted_meshes/{quality}/{actor[:5]}/{stem}.ply`` +
+        7-landmark ``.npy`` per image.  Returns per-split image counts."""
+        from PIL import Image
+
+        root = Path(pictures_root) / "Real_images__Subset_2D_FG2018"
+        out = Path(out_dir) / "predicted_meshes"
+        counts = {}
+        for quality in ("HQ", "LQ"):
+            qdir = root / quality
+            paths = sorted(p for p in qdir.glob("*")
+                           if p.suffix.lower() in IMG_EXTENSIONS) \
+                if qdir.is_dir() else []
+            n = 0
+            for i in range(0, len(paths), batch):
+                chunk = paths[i:i + batch]
+                arr = np.stack([
+                    detect_and_blob(np.asarray(
+                        Image.open(p).convert("RGB"))) for p in chunk
+                ]).astype(np.float32)
+                verts, codes, lmk68 = self.predict(self.modules, state, arr)
+                verts, lmk68 = np.asarray(verts), np.asarray(lmk68)
+                for j, p in enumerate(chunk):
+                    actor = p.stem[:9].upper()
+                    dst = out / quality / actor[:5]
+                    dst.mkdir(parents=True, exist_ok=True)
+                    from .export import landmarks_7, write_ply
+                    write_ply(dst / f"{actor}.ply", verts[j] * 1000.0,
+                              np.asarray(self.modules.flame.faces))
+                    np.save(dst / f"{actor}.npy",
+                            landmarks_7(lmk68[j]) * 1000.0)
+                    n += 1
+            counts[quality] = n
+            logger.info("tester: Stirling %s — %d images processed",
+                        quality, n)
+        return counts
+
     @staticmethod
     def evaluate_now(pred_dir: str | os.PathLike,
-                     gt_dir: str | os.PathLike) -> dict:
+                     gt_dir: str | os.PathLike,
+                     point_to_surface: bool = True) -> dict:
         """Compare exported predictions against GT scans laid out as
-        ``{gt_dir}/{key}/scan.npy`` [P,3] mm + ``lmk7.npy`` [7,3] mm."""
+        ``{gt_dir}/{key}/scan.npy`` [P,3] mm + ``lmk7.npy`` [7,3] mm.
+        Uses the official masked point-to-surface distance by default."""
         from .export import read_obj
 
         errs = []
@@ -158,15 +288,18 @@ class Tester:
             gt = Path(gt_dir) / pred.name
             if not (gt / "scan.npy").exists():
                 continue
-            verts, _ = read_obj(pred / "mesh.obj")
+            verts, faces = read_obj(pred / "mesh.obj")
             lmk7 = np.load(pred / "kpt7.npy")
             scan = np.load(gt / "scan.npy")
             gt7 = np.load(gt / "lmk7.npy")
-            from scipy.spatial import cKDTree
-
             s, R, t = rigid_align_7(lmk7, gt7)
             aligned = (s * (R @ verts.T)).T + t
-            d, _ = cKDTree(aligned).query(scan, k=1)
+            if point_to_surface and len(faces):
+                d = point_to_surface_distance(scan, aligned, faces)
+            else:
+                from scipy.spatial import cKDTree
+
+                d, _ = cKDTree(aligned).query(scan, k=1)
             all_d.append(d)
             errs.append({"median": float(np.median(d)),
                          "mean": float(np.mean(d)),

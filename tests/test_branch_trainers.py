@@ -233,3 +233,68 @@ def test_evaluate_now_with_gt(mica_setup, tmp_path):
     curve = res["cumulative_curve"]
     assert curve["fraction"][-1] == 1.0
     assert curve["fraction"][0] <= curve["fraction"][-1]
+
+
+def test_point_to_surface_vs_vertex_differ():
+    """Official NoW protocol uses point-to-surface: for a point above the
+    centre of a large triangle the surface distance is the height while the
+    nearest-vertex distance is much larger — the implementation must return
+    the surface distance (VERDICT r1 #6 done-criterion)."""
+    from scipy.spatial import cKDTree
+
+    from sr3d_tpu.eval.tester import point_to_surface_distance
+
+    verts = np.array([[0.0, 0.0, 0.0], [10.0, 0.0, 0.0], [0.0, 10.0, 0.0],
+                      [30.0, 30.0, 0.0]], np.float64)
+    faces = np.array([[0, 1, 2], [1, 3, 2]], np.int32)
+    p = np.array([[2.0, 2.0, 1.0],     # above triangle interior: d = 1
+                  [-1.0, -1.0, 0.0],   # outside, closest vertex A: d = √2
+                  [5.0, -2.0, 0.0]])   # closest edge AB: d = 2
+    d_surf = point_to_surface_distance(p, verts, faces)
+    np.testing.assert_allclose(d_surf, [1.0, np.sqrt(2.0), 2.0], atol=1e-9)
+    d_vert, _ = cKDTree(verts).query(p, k=1)
+    assert d_vert[0] > 2.5         # nearest vertex is ≥2.8 away
+    assert d_surf[0] < d_vert[0]   # surface < vertex, measurably
+
+
+def test_now_distance_uses_surface_with_faces():
+    from sr3d_tpu.eval.tester import now_distance
+
+    verts = np.array([[0.0, 0, 0], [10, 0, 0], [0, 10, 0],
+                      [-5, -5, 0], [15, -5, 0], [-5, 15, 0],
+                      [20, 20, 0]], np.float64)
+    faces = np.array([[0, 1, 2]], np.int32)
+    lmk7 = verts[:7] if len(verts) >= 7 else verts
+    scan = np.array([[2.0, 2.0, 1.0]])
+    d_v = now_distance(verts, lmk7, scan, lmk7)          # vertex mode
+    d_s = now_distance(verts, lmk7, scan, lmk7, faces=faces)
+    assert d_s["mean"] < d_v["mean"]
+    np.testing.assert_allclose(d_s["mean"], 1.0, atol=1e-6)
+
+
+def test_stirling_hq_lq_split(mica_setup, tmp_path):
+    """run_stirling walks the Real_images__Subset_2D_FG2018/{HQ,LQ} layout
+    and exports per-quality actor trees (reference tester.py:198-286)."""
+    from PIL import Image
+
+    from sr3d_tpu.eval.tester import Tester
+    from sr3d_tpu.train.mica_only import make_mica_predict
+
+    cfg, modules, opt, state = mica_setup
+    rng = np.random.RandomState(0)
+    root = tmp_path / "stirling"
+    for q, names in [("HQ", ["f1001_001", "f1002_003"]),
+                     ("LQ", ["m2001_002"])]:
+        d = root / "Real_images__Subset_2D_FG2018" / q
+        d.mkdir(parents=True)
+        for n in names:
+            Image.fromarray(rng.randint(0, 255, (130, 110, 3),
+                                        dtype=np.uint8)).save(d / f"{n}.jpg")
+
+    t = Tester(modules, jax.jit(make_mica_predict()))
+    counts = t.run_stirling(state, root, tmp_path / "out", batch=2)
+    assert counts == {"HQ": 2, "LQ": 1}
+    out = tmp_path / "out" / "predicted_meshes"
+    assert (out / "HQ" / "F1001" / "F1001_001.ply").exists()
+    assert (out / "HQ" / "F1002" / "F1002_003.npy").exists()
+    assert (out / "LQ" / "M2001" / "M2001_002.ply").exists()
