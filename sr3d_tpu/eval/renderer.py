@@ -45,18 +45,28 @@ def vertex_normals(vertices: jax.Array, faces: jax.Array) -> jax.Array:
     return vn / jnp.linalg.norm(vn, axis=-1, keepdims=True).clip(1e-12)
 
 
-@partial(jax.jit, static_argnames=("image_size", "tile", "fov_deg"))
+@partial(jax.jit,
+         static_argnames=("image_size", "tile", "tile_grid", "fov_deg"))
 def render_mesh(
     vertices: jax.Array,        # [V,3] canonical-space (metres)
     faces: jax.Array,           # [F,3] int32
     image_size: int = 512,
     tile: int = 8,
+    tile_grid: int = 4,
     fov_deg: float = 12.0,
     eye_z: float = -3.0,
     light_dir=(0.0, 0.0, 1.0),
     base_color=(0.8, 0.8, 0.8),
 ) -> jax.Array:
-    """Render one mesh → [image_size, image_size, 3] float32 in [0,1]."""
+    """Render one mesh → [image_size, image_size, 3] float32 in [0,1].
+
+    Every face rasterises a ``tile_grid × tile_grid`` grid of ``tile``-pixel
+    blocks anchored at its screen bbox min (processed chunk-wise to bound
+    memory), so faces up to ``tile·tile_grid`` px are drawn without holes —
+    the round-1 single 8-px tile clipped any larger face (VERDICT r1 #7).
+    Faces exceeding the coverage are still partially drawn; raise
+    ``tile_grid`` for coarse meshes.
+    """
     V = vertices.shape[0]
     F = faces.shape[0]
     P = image_size
@@ -79,49 +89,72 @@ def render_mesh(
     tri_z = z[faces]                                   # [F,3]
     tri_shade = vert_shade[faces]                      # [F,3]
 
-    # fixed tile anchored at each face's bbox min (clipped to the canvas)
+    # tile grid anchored at each face's bbox min (clipped to the canvas)
+    cover = tile * tile_grid
     bb_min = jnp.floor(tri.min(axis=1)).astype(jnp.int32)          # [F,2]
-    bb_min = jnp.clip(bb_min, 0, P - tile)
-    dy, dx = jnp.mgrid[0:tile, 0:tile]
-    px = bb_min[:, 0, None, None] + dx[None]           # [F,t,t]
-    py = bb_min[:, 1, None, None] + dy[None]
-    pix = jnp.stack([px, py], -1).astype(jnp.float32) + 0.5
-
-    # barycentric coords of every tile pixel wrt its face
+    bb_min = jnp.clip(bb_min, 0, max(P - cover, 0))
     a, b, c = tri[:, 0], tri[:, 1], tri[:, 2]
-    v0 = (b - a)[:, None, None]
-    v1 = (c - a)[:, None, None]
-    v2 = pix - a[:, None, None]
-    d00 = (v0 * v0).sum(-1)
-    d01 = (v0 * v1).sum(-1)
-    d11 = (v1 * v1).sum(-1)
-    d20 = (v2 * v0).sum(-1)
-    d21 = (v2 * v1).sum(-1)
-    denom = d00 * d11 - d01 * d01
-    denom = jnp.where(jnp.abs(denom) < 1e-12, 1e-12, denom)
-    w1 = (d11 * d20 - d01 * d21) / denom
-    w2 = (d00 * d21 - d01 * d20) / denom
-    w0 = 1.0 - w1 - w2
-    inside = (w0 >= 0) & (w1 >= 0) & (w2 >= 0)         # [F,t,t]
-
-    depth = (w0 * tri_z[:, 0, None, None]
-             + w1 * tri_z[:, 1, None, None]
-             + w2 * tri_z[:, 2, None, None])
-    shade = (w0 * tri_shade[:, 0, None, None]
-             + w1 * tri_shade[:, 1, None, None]
-             + w2 * tri_shade[:, 2, None, None])
-
-    flat_idx = (py * P + px).reshape(-1)               # [F*t*t]
     big = jnp.float32(1e9)
-    depth_flat = jnp.where(inside, depth, big).reshape(-1)
-    shade_flat = shade.reshape(-1)
 
+    def chunk(gy, gx):
+        """Rasterise the (gy, gx) tile of every face's grid →
+        (flat pixel idx [F·t·t], depth, shade)."""
+        dy, dx = jnp.mgrid[0:tile, 0:tile]
+        px = bb_min[:, 0, None, None] + dx[None] + gx * tile   # [F,t,t]
+        py = bb_min[:, 1, None, None] + dy[None] + gy * tile
+        on_canvas = (px < P) & (py < P)
+        pix = jnp.stack([px, py], -1).astype(jnp.float32) + 0.5
+
+        # barycentric coords of every tile pixel wrt its face
+        v0 = (b - a)[:, None, None]
+        v1 = (c - a)[:, None, None]
+        v2 = pix - a[:, None, None]
+        d00 = (v0 * v0).sum(-1)
+        d01 = (v0 * v1).sum(-1)
+        d11 = (v1 * v1).sum(-1)
+        d20 = (v2 * v0).sum(-1)
+        d21 = (v2 * v1).sum(-1)
+        denom = d00 * d11 - d01 * d01   # = (2·area)² in pixel⁴
+        # (near-)degenerate faces — e.g. collapsed pole rings, hairline
+        # slivers — produce catastrophic-cancellation barycentrics that
+        # spuriously pass the inside test across their whole tile window.
+        # The cull must be RELATIVE: denom comes from an f32 subtraction of
+        # ~|v0|²·|v1|²-scale products, so its noise floor scales with them
+        # (absolute thresholds pass sliver noise).  denom/(d00·d11) = sin²θ
+        # of the edge angle; cull below ~0.2° (f32 noise is ~1e-7 relative).
+        non_degenerate = denom > 1e-5 * d00 * d11 + 1e-12
+        denom = jnp.where(non_degenerate, denom, 1.0)
+        w1 = (d11 * d20 - d01 * d21) / denom
+        w2 = (d00 * d21 - d01 * d20) / denom
+        w0 = 1.0 - w1 - w2
+        inside = ((w0 >= 0) & (w1 >= 0) & (w2 >= 0) & on_canvas
+                  & non_degenerate)                              # [F,t,t]
+
+        depth = (w0 * tri_z[:, 0, None, None]
+                 + w1 * tri_z[:, 1, None, None]
+                 + w2 * tri_z[:, 2, None, None])
+        shade = (w0 * tri_shade[:, 0, None, None]
+                 + w1 * tri_shade[:, 1, None, None]
+                 + w2 * tri_shade[:, 2, None, None])
+        flat_idx = (jnp.clip(py, 0, P - 1) * P
+                    + jnp.clip(px, 0, P - 1)).reshape(-1)
+        return (flat_idx, jnp.where(inside, depth, big).reshape(-1),
+                shade.reshape(-1))
+
+    grid_cells = [(gy, gx) for gy in range(tile_grid)
+                  for gx in range(tile_grid)]
     # pass 1: winning depth per pixel
-    zbuf = jnp.full((P * P,), big).at[flat_idx].min(depth_flat)
+    zbuf = jnp.full((P * P,), big)
+    for gy, gx in grid_cells:
+        idx, depth_flat, _ = chunk(gy, gx)
+        zbuf = zbuf.at[idx].min(depth_flat)
     # pass 2: candidates matching the winning depth write their shade
-    is_winner = (depth_flat <= zbuf[flat_idx] + 1e-7) & (depth_flat < big)
-    shade_buf = jnp.zeros((P * P,)).at[flat_idx].max(
-        jnp.where(is_winner, shade_flat, 0.0))
+    shade_buf = jnp.zeros((P * P,))
+    for gy, gx in grid_cells:
+        idx, depth_flat, shade_flat = chunk(gy, gx)
+        is_winner = (depth_flat <= zbuf[idx] + 1e-7) & (depth_flat < big)
+        shade_buf = shade_buf.at[idx].max(
+            jnp.where(is_winner, shade_flat, 0.0))
 
     img = shade_buf.reshape(P, P)[..., None] * jnp.asarray(base_color)
     hit = (zbuf < big).reshape(P, P)[..., None]
