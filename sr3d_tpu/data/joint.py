@@ -16,26 +16,38 @@ from pathlib import Path
 
 import numpy as np
 
-from .lrhr import load_image_m11
+from .lrhr import load_image_m11, transform_augment
 
 
 def _filter_pairs(img_rels) -> list:
-    """LYHM-style ``*_1C``/``*_2C`` pairing: keep only images whose basename
-    has BOTH camera views present (reference scan_img_arcface,
-    datasets/base.py:80-113 — the reference additionally requires adjacent
-    running indices; we key on the shared base name)."""
-    by_base: dict[str, dict] = {}
+    """LYHM-style ``*_1C``/``*_2C`` pairing (reference scan_img_arcface,
+    datasets/base.py:80-113): keep only ``{idx}_{base}_1C`` images whose
+    ``_2C`` partner exists with the ADJACENT zero-padded running index
+    (``{idx+1}_{base}_2C`` — base.py:104-106).  Names without a numeric
+    running index fall back to shared-base pairing."""
+    stems = {}
     for rel in img_rels:
-        stem = Path(rel).stem
-        for suffix in ("_1C", "_2C"):
-            if stem.endswith(suffix):
-                # reference naming: {running_index}_{base}_{1C|2C}; the two
-                # views of a pair carry adjacent indices, so key on the base
-                # (parts[1] in the reference, base.py:99)
-                parts = stem[: -len(suffix)].split("_", 1)
-                base = parts[1] if len(parts) == 2 else parts[0]
-                by_base.setdefault(base, {})[suffix] = rel
+        stems[Path(rel).stem] = rel
+    by_base: dict[str, dict] = {}
     out = []
+    for stem in sorted(stems):
+        if not stem.endswith("_1C"):
+            continue
+        parts = stem[:-len("_1C")].split("_", 1)
+        if len(parts) == 2 and parts[0].isdigit():
+            idx, base = parts
+            partner = f"{str(int(idx) + 1).zfill(len(idx))}_{base}_2C"
+            if partner in stems:
+                out.extend([stems[stem], stems[partner]])
+        else:
+            base = parts[-1]
+            by_base.setdefault(base, {})["_1C"] = stems[stem]
+    for rel in img_rels:  # index-free fallback path
+        stem = Path(rel).stem
+        if stem.endswith("_2C"):
+            parts = stem[:-len("_2C")].split("_", 1)
+            if not (len(parts) == 2 and parts[0].isdigit()):
+                by_base.setdefault(parts[-1], {})["_2C"] = rel
     for base in sorted(by_base):
         views = by_base[base]
         if "_1C" in views and "_2C" in views:
@@ -61,6 +73,7 @@ class JointFaceDataset:
         eval_max_k: int = 8,
         seed: int = 0,
         use_pairs: bool = False,
+        use_flip: bool = True,
     ):
         self.root = Path(root)
         self.name = name
@@ -71,6 +84,7 @@ class JointFaceDataset:
         self.n_shape = n_shape
         self.n_exp = n_exp
         self.eval_max_k = eval_max_k
+        self.use_flip = use_flip
         self._rng = np.random.RandomState(seed)
 
         paths_file = self.root / "image_paths" / f"{name}.npy"
@@ -124,6 +138,14 @@ class JointFaceDataset:
             blobs.append(blob_chw.transpose(1, 2, 0))       # CHW → HWC
             images.append((img + 1.0) / 2.0)                # [0,1] like /255
             trip = self._sr_triplet(rel)
+            if self.is_train and self.use_flip:
+                # grouped hflip of the SR triplet per sampled image, one
+                # coin for the whole LR/SR/HR group (reference
+                # datasets/base.py:305-306 → datasets/util.py:76-83;
+                # the 224 crop and arcface blob are not augmented there)
+                trip["LR"], trip["SR"], trip["HR"] = transform_augment(
+                    [trip["LR"], trip["SR"], trip["HR"]], split="train",
+                    rng=self._rng)
             hrs.append(trip["HR"])
             srs.append(trip["SR"])
             lrs.append(trip["LR"])

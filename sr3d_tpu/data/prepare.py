@@ -77,7 +77,11 @@ def prepare(img_path: str, out_path: str, sizes=(16, 128), n_worker: int = 0,
 
 def main(argv=None):
     p = argparse.ArgumentParser(description="LR/HR/SR triplet prep")
-    p.add_argument("--path", "-p", required=True)
+    p.add_argument("--migrate-lmdb", metavar="LMDB_DIR", default=None,
+                   help="migrate an existing reference LMDB dataset "
+                        "(datasets/LRHR_dataset.py key scheme) to SRPK "
+                        "stores under --out, then exit")
+    p.add_argument("--path", "-p", default=None)
     p.add_argument("--out", "-o", required=True)
     p.add_argument("--size", "-s", default="16,128")
     p.add_argument("--n_worker", "-n", type=int,
@@ -90,6 +94,13 @@ def main(argv=None):
     args = p.parse_args(argv)
     sizes = tuple(int(s) for s in args.size.split(","))
     assert len(sizes) == 2, "--size must be 'l,r'"
+    if args.migrate_lmdb:
+        from .srpk import migrate_lmdb
+
+        counts = migrate_lmdb(args.migrate_lmdb, args.out, *sizes)
+        print(f"migrated lmdb -> srpk: {counts}")
+        return
+    assert args.path, "--path is required (unless --migrate-lmdb)"
     n = prepare(args.path, args.out, sizes, args.n_worker, args.order)
     print(f"prepared {n} images -> {args.out}")
     if args.srpk:

