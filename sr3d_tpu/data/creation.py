@@ -33,27 +33,64 @@ IMG_EXTENSIONS = {".jpg", ".jpeg", ".png", ".bmp"}
 class Instance:
     """Per-source adapter (reference instances/instance.py:25-127).
 
-    Subclass or instantiate with the source's paths; ``transform_image`` and
-    ``actor_of`` customise per-dataset quirks (e.g. LYHM's `_1C/_2C` pairs,
-    lyhm.py:31-80).
+    Subclass or instantiate with the source's paths; the fields below carry
+    each source's quirks — image exclusion substrings, per-actor random
+    subsampling (FLORENCE takes 1000, PB4D 100), the RetinaFace detector
+    threshold, and the scan-mesh normalisation (centre/scale order + fixed
+    rotations) the reference routes through pytorch3d.
     """
-    name: str
-    images_root: str
+    name: str = "generic"
+    images_root: str = ""
     flame_params_root: str | None = None
-    use_pairs: bool = False       # LYHM-style *_1C/_2C pairing
+    use_pairs: bool = False             # LYHM-style *_1C/_2C pairing
+    min_det_score: float = 0.0          # reference get_min_det_score
+    image_exclude: tuple = ()           # path substrings to skip
+    max_images_per_actor: int = 0       # 0 = keep all
+    mesh_scale: float = 1.0
+    mesh_scale_first: bool = False      # scale→centre vs centre→scale
+    mesh_rotations: tuple = ()          # ((axis, degrees), ...)
+    fix_obj: bool = False               # run update_obj before loading
+    fix_mtl: bool = False
     extra: dict = field(default_factory=dict)
 
     def iter_images(self):
         root = Path(self.images_root)
+        by_actor: dict[str, list[Path]] = {}
         for p in sorted(root.rglob("*")):
-            if p.suffix.lower() in IMG_EXTENSIONS:
-                yield p
+            if p.suffix.lower() not in IMG_EXTENSIONS:
+                continue
+            if any(sub in str(p) for sub in self.image_exclude):
+                continue
+            by_actor.setdefault(self.actor_of(p), []).append(p)
+        rng = np.random.RandomState(0)
+        for actor in sorted(by_actor):
+            imgs = by_actor[actor]
+            if self.max_images_per_actor and \
+                    len(imgs) > self.max_images_per_actor:
+                # per-actor random subsample (florence.py:40, pb4d.py:38)
+                pick = rng.choice(len(imgs), self.max_images_per_actor,
+                                  replace=False)
+                imgs = [imgs[i] for i in sorted(pick)]
+            yield from imgs
 
     def actor_of(self, img_path: Path) -> str:
         return img_path.parent.name
 
     def transform_image(self, img: np.ndarray) -> np.ndarray:
         return img
+
+    def transform_mesh(self, verts_or_path) -> np.ndarray:
+        """Source-specific scan normalisation (reference transform_mesh)."""
+        if isinstance(verts_or_path, (str, os.PathLike)):
+            if self.fix_obj:
+                update_obj(verts_or_path, fix_mtl=self.fix_mtl)
+            from ..eval.export import read_obj
+            verts, _ = read_obj(verts_or_path)
+        else:
+            verts = np.asarray(verts_or_path)
+        return transform_mesh_verts(
+            verts, scale=self.mesh_scale, scale_first=self.mesh_scale_first,
+            rotations=self.mesh_rotations)
 
     def flame_of(self, actor: str) -> Path | None:
         if self.flame_params_root is None:
@@ -62,18 +99,203 @@ class Instance:
         return cand if cand.exists() else None
 
 
-# convenience constructors for the reference's nine sources — same names,
-# same directory conventions (datasets/creation/instances/)
-def standard_instances(raw_root: str) -> list[Instance]:
-    names = ["LYHM", "LYHM_all", "STIRLING", "FRGC", "FLORENCE",
-             "FACEWAREHOUSE", "BU3DFE", "PB4D", "D3DFACS"]
+# --------------------------------------------------------------------------
+# mesh transforms (pure numpy — the reference routes these through
+# pytorch3d RotateAxisAngle / scale_verts_, instances/instance.py:77-90)
+# --------------------------------------------------------------------------
+
+def rotation_matrix(axis: str, degrees: float) -> np.ndarray:
+    """Right-handed rotation about a principal axis (pytorch3d
+    ``_axis_angle_rotation`` convention)."""
+    t = np.deg2rad(degrees)
+    c, s = np.cos(t), np.sin(t)
+    if axis == "X":
+        return np.array([[1, 0, 0], [0, c, -s], [0, s, c]], np.float64)
+    if axis == "Y":
+        return np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float64)
+    if axis == "Z":
+        return np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]], np.float64)
+    raise ValueError(axis)
+
+
+def rotate_axis_angle(points: np.ndarray, axis: str,
+                      degrees: float) -> np.ndarray:
+    """Rotate [N,3] points by ``degrees`` about ``axis`` (the effect of
+    pytorch3d ``RotateAxisAngle(deg, axis).transform_points``)."""
+    return points @ rotation_matrix(axis, degrees).T
+
+
+def mesh_rotation_sweep() -> dict:
+    """The multi-view render sweep (reference instance.py:77-90):
+    X ±7.5° in 2.5° steps (7 views), Y ±72° in 8° steps (19 views);
+    returns {axis: [(axis, degrees), ...]}."""
+    rots = {}
+    for axis, degree, span in (("X", 2.5, 15), ("Y", 8.0, 144)):
+        step = int(span / degree / 2)
+        rots[axis] = [(axis, degree * i) for i in range(-step, step + 1)]
+    return rots
+
+
+def transform_mesh_verts(verts: np.ndarray, *, scale: float = 1.0,
+                         scale_first: bool = False,
+                         rotations: tuple = ()) -> np.ndarray:
+    """Per-source scan normalisation: centre at the vertex mean and scale
+    (order varies by source!), then apply the source's fixed rotations.
+
+    * LYHM/BU3DFE: centre → ×0.01 (lyhm.py:69-80, bu3dfe.py:63-71)
+    * PB4D: ×0.01 → centre (pb4d.py:64-70)
+    * FRGC: ×10 → centre (frgc.py:76-83)
+    """
+    v = np.asarray(verts, np.float64)
+    if scale_first:
+        v = v * scale
+        v = v - v.mean(0)
+    else:
+        v = v - v.mean(0)
+        v = v * scale
+    for axis, deg in rotations:
+        v = rotate_axis_angle(v, axis, deg)
+    return v
+
+
+def update_obj(path, fix_mtl: bool = False) -> None:
+    """Normalise an OBJ's material statements (reference
+    instance.py:92-127): drop existing ``usemtl``/``newmtl`` lines, add a
+    ``usemtl`` right after ``mtllib``, and optionally rewrite the .mtl's
+    ``newmtl`` to the mesh stem."""
+    path = str(path)
+    mesh = Path(path).stem
+    with open(path) as f:
+        lines = [ln for ln in f.readlines()
+                 if "usemtl" not in ln and "newmtl" not in ln]
     out = []
-    for n in names:
-        out.append(Instance(
+    for ln in lines:
+        if "mtllib" in ln:
+            mtl = ln.split(" ")[-1].split(".")[0]
+            ln += f"usemtl {mtl}\n"
+        out.append(ln)
+    with open(path, "w") as f:
+        f.write("".join(out))
+    if not fix_mtl:
+        return
+    # suffix-only swap (the reference's str.replace('obj','mtl') corrupts
+    # paths whose directories contain 'obj')
+    mtl_path = str(Path(path).with_suffix(".mtl"))
+    if not os.path.exists(mtl_path):
+        return
+    with open(mtl_path) as f:
+        lines = f.readlines()
+    with open(mtl_path, "w") as f:
+        f.write("".join(
+            f"newmtl {mesh}\n" if "newmtl" in ln else ln for ln in lines))
+
+
+# --------------------------------------------------------------------------
+# the reference's nine per-source adapters
+# (datasets/creation/instances/*.py) — same directory conventions, image
+# filters, per-actor subsampling, detector thresholds, and mesh transforms
+# --------------------------------------------------------------------------
+
+@dataclass
+class LYHM(Instance):
+    """lyhm.py: per-actor ``{src}/{actor}/*.png`` images, ``*.npz`` FLAME
+    params, scan meshes centred → ×0.01 → rot X−45°, Y−45°."""
+    name: str = "LYHM"
+    use_pairs: bool = True
+    mesh_scale: float = 0.01
+    mesh_scale_first: bool = False
+    mesh_rotations: tuple = (("X", -45.0), ("Y", -45.0))
+
+
+@dataclass
+class LYHM_all(LYHM):
+    name: str = "LYHM_all"
+
+
+@dataclass
+class Stirling(Instance):
+    """stirling.py: HQ images under Real_images__Subset_2D_FG2018, actor =
+    stem prefix upper-cased; det threshold 0.75; meshes centred → ×0.01
+    after an OBJ/MTL fix."""
+    name: str = "STIRLING"
+    min_det_score: float = 0.75
+    mesh_scale: float = 0.01
+    mesh_scale_first: bool = False
+    fix_obj: bool = True
+    fix_mtl: bool = True
+
+    def actor_of(self, img_path: Path) -> str:
+        return img_path.stem.split("_")[0].upper()
+
+
+@dataclass
+class FRGC(Instance):
+    """frgc.py: excludes 'Spring2003range' images; meshes OBJ-fixed,
+    ×10 → centred."""
+    name: str = "FRGC"
+    image_exclude: tuple = ("Spring2003range",)
+    mesh_scale: float = 10.0
+    mesh_scale_first: bool = True
+    fix_obj: bool = True
+
+
+@dataclass
+class Florence(Instance):
+    """florence.py: excludes 'PTZ-Outdoor', subsamples 1000 images/actor,
+    det threshold 0.85."""
+    name: str = "FLORENCE"
+    image_exclude: tuple = ("PTZ-Outdoor",)
+    max_images_per_actor: int = 1000
+    min_det_score: float = 0.85
+
+
+@dataclass
+class FaceWarehouse(Instance):
+    """facewarehouse.py: Images/*; first FLAME_fits npz per actor."""
+    name: str = "FACEWAREHOUSE"
+
+
+@dataclass
+class BU3DFE(Instance):
+    """bu3dfe.py: images from the _clean tree; meshes OBJ-fixed,
+    centred → ×0.01."""
+    name: str = "BU3DFE"
+    mesh_scale: float = 0.01
+    mesh_scale_first: bool = False
+    fix_obj: bool = True
+
+
+@dataclass
+class PB4D(Instance):
+    """pb4d.py: subsamples 100 images/actor; meshes ×0.01 → centred."""
+    name: str = "PB4D"
+    max_images_per_actor: int = 100
+    mesh_scale: float = 0.01
+    mesh_scale_first: bool = True
+
+
+@dataclass
+class D3DFACS(Instance):
+    """d3dfacs.py: processed/images per-actor trees."""
+    name: str = "D3DFACS"
+
+
+_INSTANCE_TYPES = {
+    "LYHM": LYHM, "LYHM_all": LYHM_all, "STIRLING": Stirling,
+    "FRGC": FRGC, "FLORENCE": Florence, "FACEWAREHOUSE": FaceWarehouse,
+    "BU3DFE": BU3DFE, "PB4D": PB4D, "D3DFACS": D3DFACS,
+}
+
+
+def standard_instances(raw_root: str) -> list[Instance]:
+    """The reference's nine sources with their per-source adapters."""
+    out = []
+    for n, cls in _INSTANCE_TYPES.items():
+        out.append(cls(
             name=n,
             images_root=os.path.join(raw_root, n, "images"),
-            flame_params_root=os.path.join(raw_root, n, "FLAME_parameters"),
-            use_pairs=n.startswith("LYHM")))
+            flame_params_root=os.path.join(raw_root, n,
+                                           "FLAME_parameters")))
     return out
 
 

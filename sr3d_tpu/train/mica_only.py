@@ -99,3 +99,104 @@ def make_mica_predict():
         return verts, code, compute_landmarks(modules.flame, verts)
 
     return predict
+
+
+class MicaTrainer:
+    """Standalone MICA ``fit`` loop (reference lib/MICA/micalib/trainer.py:
+    53-288): step-counted training over arcface/flame batches with a
+    validation cadence driving the reference BestModel tracker, periodic
+    ``model_mica.npz`` checkpoints, and auto-resume."""
+
+    def __init__(self, cfg, modules: JointModules,
+                 validator=None, output_dir=None):
+        import logging
+        from pathlib import Path
+
+        self.logger = logging.getLogger("sr3d_tpu")
+        self.cfg = cfg
+        self.modules = modules
+        self.validator = validator
+        self.output_dir = Path(output_dir or cfg.output_dir)
+        self.output_dir.mkdir(parents=True, exist_ok=True)
+
+        self.opt = make_mica_optimizer(cfg)
+        self.state = init_mica_state(modules, cfg,
+                                     jax.random.PRNGKey(int(cfg.seed)),
+                                     self.opt)
+        self._step = jax.jit(make_mica_train_step(self.opt),
+                             donate_argnums=1)
+        self.global_step = 0
+
+        from .trainer import BestModel
+        self.best_model = BestModel(int(cfg.mica.running_average),
+                                    save_fn=self._save_best)
+
+    def _save_best(self, tag: str) -> None:
+        from .checkpoint import save_state_npz
+
+        save_state_npz(self.output_dir / "best_models" / f"{tag}.npz",
+                       jax.device_get(self.state),
+                       {"global_step": self.global_step})
+
+    def save_checkpoint(self) -> None:
+        from .checkpoint import save_state_npz
+
+        save_state_npz(self.output_dir / "model_mica.npz",
+                       jax.device_get(self.state),
+                       {"global_step": self.global_step})
+
+    def load_checkpoint(self) -> bool:
+        from .checkpoint import load_state_npz
+
+        path = self.output_dir / "model_mica.npz"
+        if not path.exists():
+            return False
+        restored = load_state_npz(path, self.state, {"global_step": 0})
+        self.state = restored["state"]
+        self.global_step = int(restored["meta"]["global_step"])
+        self.logger.info("mica resume @ step %d", self.global_step)
+        return True
+
+    def validation_step(self) -> dict:
+        """Validator pass + BestModel update (reference trainer.py:116-146
+        runs the Validator which feeds best_model)."""
+        if self.validator is None:
+            return {}
+        return self.validator.run(self.state)
+
+    def fit(self, loader, max_steps: int | None = None,
+            val_steps: int | None = None,
+            checkpoint_steps: int | None = None,
+            log_steps: int | None = None) -> None:
+        import numpy as np
+
+        cfg = self.cfg
+        max_steps = max_steps or int(cfg.mica.train.max_steps)
+        val_steps = val_steps or int(cfg.mica.train.val_steps)
+        checkpoint_steps = checkpoint_steps or int(
+            cfg.mica.train.checkpoint_steps)
+        log_steps = log_steps or int(cfg.mica.train.log_steps)
+
+        rng = jax.random.PRNGKey(int(cfg.seed) + 13)
+        it = iter(loader)
+        while self.global_step < max_steps:
+            raw = next(it)
+            batch = {}
+            for key in ("arcface", "flame_shape"):
+                v = np.asarray(raw[key], np.float32)
+                if v.ndim == 5 or (key == "flame_shape" and v.ndim == 3):
+                    v = v.reshape((-1,) + v.shape[2:])   # [B,K,..] → [B*K,..]
+                batch[key] = v
+            rng, k = jax.random.split(rng)
+            self.state, metrics = self._step(self.modules, self.state,
+                                             batch, k)
+            self.global_step += 1
+            if self.global_step % log_steps == 0:
+                self.logger.info("mica step %d | loss %.4f",
+                                 self.global_step,
+                                 float(metrics["loss"]))
+            if val_steps and self.global_step % val_steps == 0:
+                self.validation_step()
+            if checkpoint_steps and self.global_step % checkpoint_steps == 0:
+                self.save_checkpoint()
+        self.save_checkpoint()

@@ -223,6 +223,12 @@ class Trainer:
         self.ckpt.save(self.global_step, self.state,
                        metadata={"global_step": self.global_step,
                                  "epoch": self.epoch})
+        if self.cfg.get("log_wandb_ckpt"):
+            # checkpoint-artifact registration (reference
+            # core/wandb_logger.py:71-89, gated like lib/trainer_temp.py:420)
+            self.metrics_writer.log_checkpoint(
+                [str(self.ckpt_dir / str(self.global_step))],
+                self.global_step)
 
     def load_sr_pretrained(self, prefix: str) -> bool:
         """Warm-start the joint trainer's SR branch from an SR-only
@@ -438,6 +444,12 @@ class Trainer:
                     tensor_to_uint8(jnp.asarray(raw["HR"])))[0]
                 psnrs.append(calculate_psnr(sr_u8, hr_u8))
                 ssims.append(calculate_ssim(sr_u8, hr_u8))
+                if cfg.get("log_eval"):
+                    # eval-table row: conditioning / SR / HR + metrics
+                    # (reference core/wandb_logger.py:91-116)
+                    self.metrics_writer.log_eval_data(
+                        np.asarray(tensor_to_uint8(jnp.asarray(raw["SR"])))[0],
+                        sr_u8, hr_u8, psnrs[-1], ssims[-1])
                 last_verts = np.asarray(out["verts"])
                 if bi < int(cfg.train.val_n_img):
                     # per-sample dir name from the SR path (reference
@@ -463,6 +475,8 @@ class Trainer:
                         save_img(np.asarray(tensor_to_uint8(
                             jnp.asarray(raw["LR"])))[0],
                             str(dst / f"{name}_lr.png"))
+        if cfg.get("log_eval"):
+            self.metrics_writer.log_eval_table(self.global_step)
         res = {"psnr": float(np.mean(psnrs)) if psnrs else 0.0,
                "ssim": float(np.mean(ssims)) if ssims else 0.0,
                "step": self.global_step}

@@ -99,6 +99,56 @@ class MetricsWriter:
         except Exception:
             pass
 
+    # -- W&B extras (reference core/wandb_logger.py:60-116), with an
+    # always-on JSONL/disk twin so the features work without wandb --------
+
+    def log_checkpoint(self, paths, step: int) -> None:
+        """Register checkpoint files as a model artifact (reference
+        log_checkpoint :71-89).  Without wandb, records the file list in
+        the JSONL sink."""
+        paths = [str(p) for p in paths]
+        self._jsonl.write(json.dumps(
+            {"tag": "checkpoint_artifact", "files": paths,
+             "step": int(step), "ts": time.time()}) + "\n")
+        self._jsonl.flush()
+        if self._wandb is not None:  # pragma: no cover — no wandb here
+            art = self._wandb.Artifact(
+                f"{self._wandb.run.id}_model", type="model")
+            for p in paths:
+                art.add_file(p)
+            self._wandb.log_artifact(art, aliases=["latest"])
+
+    def log_eval_data(self, fake_img, sr_img, hr_img, psnr=None,
+                      ssim=None) -> None:
+        """Append a row to the eval table (reference log_eval_data
+        :91-108); the images also persist to disk via add_image."""
+        row = {"tag": "eval_table_row", "ts": time.time()}
+        if psnr is not None:
+            row["psnr"] = float(psnr)
+        if ssim is not None:
+            row["ssim"] = float(ssim)
+        self._eval_rows = getattr(self, "_eval_rows", [])
+        self._eval_rows.append((fake_img, sr_img, hr_img,
+                                row.get("psnr"), row.get("ssim")))
+        self._jsonl.write(json.dumps(row) + "\n")
+        self._jsonl.flush()
+
+    def log_eval_table(self, step: int = 0, commit: bool = False) -> int:
+        """Flush accumulated eval rows (reference log_eval_table :110-116).
+        Returns the number of rows flushed."""
+        rows = getattr(self, "_eval_rows", [])
+        if self._wandb is not None and rows:  # pragma: no cover
+            cols = ["fake_image", "sr_image", "hr_image", "psnr", "ssim"]
+            table = self._wandb.Table(columns=cols)
+            for fake, sr, hr, psnr, ssim in rows:
+                table.add_data(self._wandb.Image(fake),
+                               self._wandb.Image(sr),
+                               self._wandb.Image(hr), psnr, ssim)
+            self._wandb.log({"eval_data": table}, commit=commit)
+        n = len(rows)
+        self._eval_rows = []
+        return n
+
     def close(self) -> None:
         self._jsonl.close()
         if self._tb is not None:

@@ -298,3 +298,42 @@ def test_stirling_hq_lq_split(mica_setup, tmp_path):
     assert (out / "HQ" / "F1001" / "F1001_001.ply").exists()
     assert (out / "HQ" / "F1002" / "F1002_003.npy").exists()
     assert (out / "LQ" / "M2001" / "M2001_002.ply").exists()
+
+
+def test_mica_trainer_fit_val_resume(mica_setup, tmp_path):
+    """MicaTrainer.fit: step loop + val cadence driving BestModel +
+    model_mica.npz checkpoint/auto-resume (reference micalib/trainer.py
+    :53-288 — VERDICT r1 #10)."""
+    from sr3d_tpu.data.pipeline import BatchLoader
+    from sr3d_tpu.eval.validator import Validator
+    from sr3d_tpu.train.mica_only import MicaTrainer, make_mica_predict
+
+    cfg, modules, opt, state = mica_setup
+
+    class DS:
+        def __len__(self):
+            return 4
+
+        def __getitem__(self, i):
+            b = mica_batch(n=2, seed=i)
+            return {"arcface": np.asarray(b["arcface"]),
+                    "flame_shape": np.asarray(b["flame_shape"])}
+
+    loader = BatchLoader(DS(), batch_size=2, shuffle=False, num_workers=0)
+    validator = Validator(modules, jax.jit(make_mica_predict()),
+                          {"SYNTH": DS()}, render_n=0)
+    tr = MicaTrainer(cfg, modules, validator=validator,
+                     output_dir=tmp_path / "mica")
+    validator.best_model = tr.best_model
+    tr.fit(loader, max_steps=4, val_steps=2, checkpoint_steps=2,
+           log_steps=2)
+    assert tr.global_step == 4
+    assert (tmp_path / "mica" / "model_mica.npz").exists()
+    assert tr.best_model.counter is not None  # val cadence fed the tracker
+
+    tr2 = MicaTrainer(cfg, modules, output_dir=tmp_path / "mica")
+    assert tr2.load_checkpoint()
+    assert tr2.global_step == 4
+    for a, b in zip(jax.tree_util.tree_leaves(tr2.state.params),
+                    jax.tree_util.tree_leaves(tr.state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -99,3 +99,96 @@ def test_standard_instances_names():
     assert names == {"LYHM", "LYHM_all", "STIRLING", "FRGC", "FLORENCE",
                      "FACEWAREHOUSE", "BU3DFE", "PB4D", "D3DFACS"}
     assert all(i.use_pairs == i.name.startswith("LYHM") for i in insts)
+
+
+def test_rotation_matrices_and_sweep():
+    from sr3d_tpu.data.creation import (
+        mesh_rotation_sweep,
+        rotate_axis_angle,
+    )
+
+    # right-handed: +90° about Z maps x̂ → ŷ
+    p = np.array([[1.0, 0.0, 0.0]])
+    np.testing.assert_allclose(rotate_axis_angle(p, "Z", 90.0),
+                               [[0.0, 1.0, 0.0]], atol=1e-12)
+    np.testing.assert_allclose(rotate_axis_angle(p, "Y", 90.0),
+                               [[0.0, 0.0, -1.0]], atol=1e-12)
+    # the reference sweep: X ±7.5° step 2.5 (7 views), Y ±72° step 8 (19)
+    rots = mesh_rotation_sweep()
+    assert len(rots["X"]) == 7 and len(rots["Y"]) == 19
+    assert rots["X"][0] == ("X", -7.5) and rots["X"][-1] == ("X", 7.5)
+    assert rots["Y"][0] == ("Y", -72.0) and rots["Y"][-1] == ("Y", 72.0)
+
+
+def test_transform_mesh_scale_centre_order():
+    """LYHM centres then scales; PB4D/FRGC scale then centre — for a mesh
+    not centred at the origin the two orders give the SAME result (centring
+    absorbs the scale of the mean), but rotations distinguish sources."""
+    from sr3d_tpu.data.creation import LYHM, PB4D, transform_mesh_verts
+
+    rng = np.random.RandomState(0)
+    verts = rng.randn(20, 3) + 5.0
+    ly = LYHM().transform_mesh(verts)
+    # centre → ×0.01 → rot X−45 → rot Y−45
+    expect = (verts - verts.mean(0)) * 0.01
+    from sr3d_tpu.data.creation import rotate_axis_angle
+    expect = rotate_axis_angle(rotate_axis_angle(expect, "X", -45), "Y", -45)
+    np.testing.assert_allclose(ly, expect, atol=1e-12)
+    pb = PB4D().transform_mesh(verts)
+    np.testing.assert_allclose(pb, (verts * 0.01)
+                               - (verts * 0.01).mean(0), atol=1e-12)
+    assert not np.allclose(ly, pb)  # rotations distinguish the sources
+
+
+def test_update_obj_mtl_fix(tmp_path):
+    from sr3d_tpu.data.creation import update_obj
+
+    obj = tmp_path / "scan.obj"
+    obj.write_text("mtllib scan.mtl\n"
+                   "usemtl old\n"
+                   "v 0 0 0\n"
+                   "f 1 1 1\n")
+    (tmp_path / "scan.mtl").write_text("newmtl old\nKd 1 1 1\n")
+    update_obj(obj, fix_mtl=True)
+    txt = obj.read_text()
+    assert "usemtl scan\n" in txt          # re-added after mtllib
+    assert "usemtl old" not in txt
+    assert "newmtl scan" in (tmp_path / "scan.mtl").read_text()
+
+
+def test_instance_filters_and_subsampling(tmp_path):
+    from PIL import Image
+
+    from sr3d_tpu.data.creation import Florence, Stirling
+
+    root = tmp_path / "imgs"
+    for actor, names in [("subj1", [f"a{i}.jpg" for i in range(5)]
+                          + ["PTZ-Outdoor_x.jpg"])]:
+        d = root / actor
+        d.mkdir(parents=True)
+        for n in names:
+            Image.new("RGB", (8, 8)).save(d / n)
+    fl = Florence(images_root=str(root), max_images_per_actor=3)
+    picked = list(fl.iter_images())
+    assert len(picked) == 3                           # subsampled
+    assert all("PTZ-Outdoor" not in str(p) for p in picked)
+
+    st = Stirling()
+    assert st.min_det_score == 0.75
+    assert st.actor_of(root / "f1001_003.jpg") == "F1001"
+
+
+def test_standard_instances_have_source_adapters():
+    from sr3d_tpu.data.creation import (
+        _INSTANCE_TYPES,
+        standard_instances,
+    )
+
+    insts = standard_instances("/raw")
+    assert [i.name for i in insts] == list(_INSTANCE_TYPES)
+    by_name = {i.name: i for i in insts}
+    assert by_name["LYHM"].use_pairs and by_name["LYHM"].mesh_rotations
+    assert by_name["FLORENCE"].max_images_per_actor == 1000
+    assert by_name["PB4D"].max_images_per_actor == 100
+    assert by_name["FRGC"].mesh_scale == 10.0 and by_name["FRGC"].fix_obj
+    assert by_name["STIRLING"].fix_mtl

@@ -54,3 +54,29 @@ def test_step_timer_discards_warmup():
         t.stop()
     assert 0.005 < t.mean < 0.1
     assert t.items_per_sec(4) > 0
+
+
+def test_metrics_writer_wandb_extras(tmp_path):
+    """Checkpoint-artifact + eval-table features (reference
+    core/wandb_logger.py:60-116) degrade to the JSONL sink without wandb."""
+    import json
+
+    import numpy as np
+
+    from sr3d_tpu.utils.logging import MetricsWriter
+
+    w = MetricsWriter(tmp_path, enable_tensorboard=False)
+    w.log_checkpoint(["/ckpt/a.npz", "/ckpt/b.npz"], step=7)
+    img = np.zeros((4, 4, 3), np.uint8)
+    w.log_eval_data(img, img, img, psnr=20.0, ssim=0.9)
+    w.log_eval_data(img, img, img, psnr=21.0, ssim=0.8)
+    assert w.log_eval_table(step=7) == 2
+    assert w.log_eval_table(step=7) == 0  # flushed
+    w.close()
+    lines = [json.loads(ln) for ln in
+             (tmp_path / "metrics.jsonl").read_text().splitlines()]
+    tags = [ln["tag"] for ln in lines]
+    assert "checkpoint_artifact" in tags
+    assert tags.count("eval_table_row") == 2
+    row = next(ln for ln in lines if ln["tag"] == "eval_table_row")
+    assert row["psnr"] == 20.0 and row["ssim"] == 0.9

@@ -172,3 +172,41 @@ def test_obj_write_read_identity(tmp_path):
     v, f = read_obj(tmp_path / "t.obj")
     np.testing.assert_allclose(v, verts, atol=1e-6)
     np.testing.assert_array_equal(f, faces)
+
+
+def test_soft_ring_expansion_and_submesh():
+    """Soft-ring mask growth (reference masking.py:131-145: ring r gets
+    value/(r+2)) and the masked-submesh extraction."""
+    import numpy as np
+
+    from sr3d_tpu.models.masking import (
+        binary_triangle_mask,
+        make_soft,
+        masked_submesh,
+        vertex_neighbours,
+        weights_with_soft_rings,
+    )
+
+    # a 1D chain 0-1-2-3-4-5 as degenerate triangles for known adjacency
+    faces = np.array([[0, 1, 1], [1, 2, 2], [2, 3, 3], [3, 4, 4],
+                      [4, 5, 5]])
+    nbrs = vertex_neighbours(faces, 6)
+    soft = make_soft(np.array([0]), 12.0, nbrs, degree=3)
+    # ring 0 = {1} @ 12/2, ring 1 = {2} @ 12/3, ring 2 = {3} @ 12/4
+    assert [list(r) for r, _ in soft] == [[1], [2], [3]]
+    assert [v for _, v in soft] == [6.0, 4.0, 3.0]
+
+    masks = {"face": np.array([0])}
+    w = weights_with_soft_rings(masks, {"whole": 1.0, "face": 12.0},
+                                faces, 6, soft_regions=("face",), degree=3)
+    np.testing.assert_allclose(w[:, 0], [12.0, 6.0, 4.0, 3.0, 1.0, 1.0])
+
+    # submesh: keep faces fully inside {0,1,2} and reindex
+    tri_mask = binary_triangle_mask(faces, np.array([0, 1, 2]))
+    np.testing.assert_array_equal(tri_mask, [True, True, False, False,
+                                             False])
+    verts = np.arange(18, dtype=np.float64).reshape(6, 3)
+    sv, sf = masked_submesh(verts, faces, tri_mask)
+    assert sv.shape == (3, 3) and sf.shape == (2, 3)
+    np.testing.assert_array_equal(sf, [[0, 1, 1], [1, 2, 2]])
+    np.testing.assert_array_equal(sv, verts[:3])
