@@ -38,6 +38,12 @@ def parse_args(argv=None):
     parser.add_argument("--legacy", action="store_true",
                         help="alternating SR/MICA trainer (the reference's "
                              "main.py stack) instead of the joint trainer")
+    parser.add_argument("--sr-only", action="store_true",
+                        help="SR-diffusion pretraining only: trains on the "
+                             "LRHR data and writes I{iter}_E{epoch}_{gen,opt}"
+                             ".npz pairs the joint trainer warm-starts from "
+                             "(the reference's staged workflow, "
+                             "model/sr/model.py:139-196)")
     parser.add_argument("--profile", type=str, default=None, metavar="DIR",
                         help="wrap the run in a jax.profiler trace "
                              "written to DIR")
@@ -65,6 +71,58 @@ def parse_args(argv=None):
     return cfg, args
 
 
+def run_sr_only(cfg, max_steps=None):
+    """SR-only pretraining loop: LRHR batches → jitted p_losses step, with
+    the reference's SR-only checkpoint pair + auto-resume (the output feeds
+    the joint trainer's ``sr.pretrained_model_path`` warm start)."""
+    import jax
+    import numpy as np
+
+    from .. import data as data_lib
+    from ..train.sr_only import SRModel
+
+    logger = logging.getLogger("sr3d_tpu")
+    m = SRModel(cfg)
+    state = m.init_state(jax.random.PRNGKey(int(cfg.seed)))
+    out = Path(cfg.output_dir) / (cfg.name or "default")
+    ckpt_dir = out / str(cfg.path.checkpoint_sr)
+    begin_step = epoch = 0
+    if ckpt_dir.is_dir() and m.latest_prefix(ckpt_dir):
+        state, begin_step, epoch = m.load_network(state, ckpt_dir,
+                                                  phase=str(cfg.phase))
+        logger.info("[SR] resumed @ step %d", begin_step)
+
+    tr = cfg.sr.datasets.train
+    ds = data_lib.LRHRDataset(
+        dataroot=tr.dataroot, l_resolution=int(tr.l_resolution),
+        r_resolution=int(tr.r_resolution), split="train")
+    loader = data_lib.BatchLoader(ds, batch_size=int(tr.batch_size),
+                                  shuffle=True, seed=int(cfg.seed))
+    step_fn = jax.jit(m.make_train_step(), donate_argnums=0)
+    rng = jax.random.PRNGKey(int(cfg.seed) + 3)
+    n_iter = int(cfg.sr.train.n_iter)
+    if max_steps is not None:
+        n_iter = min(n_iter, begin_step + max_steps)
+    ckpt_every = int(cfg.train.checkpoint_steps)
+    log_every = int(cfg.train.log_steps)
+    gstep = begin_step
+    for raw in loader:
+        if gstep >= n_iter:
+            break
+        batch = {"HR": np.asarray(raw["HR"], np.float32),
+                 "SR": np.asarray(raw["SR"], np.float32)}
+        rng, k = jax.random.split(rng)
+        state, metrics = step_fn(state, batch, k)
+        gstep += 1
+        if gstep % log_every == 0:
+            logger.info("sr step %d | l_pix %.5f", gstep,
+                        float(metrics["l_pix"]))
+        if gstep % ckpt_every == 0:
+            m.save_network(ckpt_dir, state, epoch, gstep)
+    m.save_network(ckpt_dir, state, epoch, gstep)
+    logger.info("[SR] done @ step %d -> %s", gstep, ckpt_dir)
+
+
 def main(argv=None):
     cfg, args = parse_args(argv)
 
@@ -88,7 +146,9 @@ def main(argv=None):
         profile_ctx = trace(args.profile)
 
     with profile_ctx:
-        if args.legacy:
+        if args.sr_only:
+            run_sr_only(cfg, max_steps=args.max_steps)
+        elif args.legacy:
             from .. import data as data_lib
             from ..train.joint import build_joint
             from ..train.legacy import AlternatingTrainer

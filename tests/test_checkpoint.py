@@ -230,3 +230,42 @@ def test_ckt_flag_accepts_converted_npz(tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(trainer.state.params["sr"]),
                     leaves):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_staged_workflow_sr_pretrain_then_joint(tmp_path):
+    """Full staged workflow: CLI --sr-only pretraining writes the SR pair,
+    then the joint Trainer warm-starts from it via sr.pretrained_model_path
+    (reference: model/sr/model.py pretrain → lib/trainer_temp.py:195-221)."""
+    import jax
+
+    from sr3d_tpu.cli.main import run_sr_only
+    from sr3d_tpu.data.synthetic import generate_synthetic_faces
+
+    cfg = _tiny_cfg()
+    cfg.name = "staged"
+    cfg.output_dir = str(tmp_path / "out")
+    cfg.phase = "train"
+    generate_synthetic_faces(tmp_path / "lrhr", n=4, l_res=8, r_res=16)
+    cfg.sr.datasets.train.dataroot = str(tmp_path / "lrhr")
+    cfg.sr.datasets.train.l_resolution = 8
+    cfg.sr.datasets.train.r_resolution = 16
+    cfg.sr.datasets.train.batch_size = 2
+    cfg.sr.train.n_iter = 3
+    cfg.train.checkpoint_steps = 2
+    cfg.train.log_steps = 1
+    run_sr_only(cfg)
+    ckpt_dir = tmp_path / "out" / "staged" / cfg.path.checkpoint_sr
+    gens = sorted(ckpt_dir.glob("I*_gen.npz"))
+    assert gens, "sr-only must write the checkpoint pair"
+
+    # resume continues from the saved step
+    run_sr_only(cfg, max_steps=1)  # n_iter already reached → immediate save
+    from sr3d_tpu.train.sr_only import SRModel
+    assert SRModel(cfg, dtype=jnp.float32).latest_prefix(ckpt_dir)\
+        .endswith("I3_E0")
+
+    # joint trainer picks the pair up through fit()'s warm-start branch
+    trainer, _ = _joint_trainer(tmp_path, cfg)
+    prefix = str(ckpt_dir / "I3_E0")
+    assert trainer.load_sr_pretrained(prefix)
+    assert trainer.global_step == 3

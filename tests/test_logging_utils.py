@@ -80,3 +80,32 @@ def test_metrics_writer_wandb_extras(tmp_path):
     assert tags.count("eval_table_row") == 2
     row = next(ln for ln in lines if ln["tag"] == "eval_table_row")
     assert row["psnr"] == 20.0 and row["ssim"] == 0.9
+
+
+def test_landmarks_detector_gating_and_fan_reduction():
+    import numpy as np
+    import pytest
+
+    from sr3d_tpu.utils.landmarks import (
+        LandmarksDetector,
+        center_fallback,
+        fan_landmarks_to_kps,
+    )
+
+    with pytest.raises(ValueError):
+        LandmarksDetector("mediapipe")
+    with pytest.raises(ImportError):  # gated deps absent in this image
+        LandmarksDetector("retinaface")
+    with pytest.raises(ImportError):
+        LandmarksDetector("fan")
+
+    lmks = np.random.RandomState(0).rand(2, 68, 2).astype(np.float32)
+    kps = fan_landmarks_to_kps(lmks)
+    assert kps.shape == (2, 5, 2)
+    lmk51 = lmks[:, 17:]
+    np.testing.assert_allclose(kps[:, 0], lmk51[:, [21, 24]].mean(1))
+    np.testing.assert_allclose(kps[:, 2], lmk51[:, 13])
+
+    bbox, k5 = center_fallback(np.zeros((100, 200, 3), np.uint8))
+    assert bbox.shape == (1, 5) and k5.shape == (1, 5, 2)
+    assert (k5 >= 0).all() and (k5[..., 0] <= 200).all()
