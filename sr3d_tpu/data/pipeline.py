@@ -88,13 +88,18 @@ class BatchLoader:
             return self.collate([self.dataset[int(i)] for i in b])
 
         inflight: collections.deque = collections.deque()
-        with ThreadPoolExecutor(max_workers=self.num_workers) as ex:
+        ex = ThreadPoolExecutor(max_workers=self.num_workers)
+        try:
             for b in batches:
                 inflight.append(ex.submit(load, b))
                 if len(inflight) > self.num_workers + 2:
                     yield inflight.popleft().result()
             while inflight:
                 yield inflight.popleft().result()
+        finally:
+            # consumers abandon the generator mid-epoch (step-counted
+            # training loops); release the pool immediately, not at GC
+            ex.shutdown(wait=False, cancel_futures=True)
 
     def __iter__(self) -> Iterator[dict]:
         """Endless epoch-cycling iterator (the trainer counts steps, not
