@@ -16,19 +16,22 @@ from pathlib import Path
 
 import numpy as np
 
-from .lrhr import load_image_m11, transform_augment
+from .lrhr import PerItemRng, load_image_m11, transform_augment
 
 
 def _filter_pairs(img_rels) -> list:
     """LYHM-style ``*_1C``/``*_2C`` pairing (reference scan_img_arcface,
     datasets/base.py:80-113): keep only ``{idx}_{base}_1C`` images whose
     ``_2C`` partner exists with the ADJACENT zero-padded running index
-    (``{idx+1}_{base}_2C`` — base.py:104-106).  Names without a numeric
-    running index fall back to shared-base pairing."""
+    (``{idx+1}_{base}_2C`` — base.py:104-106), and only the FIRST such pair
+    per base name (the reference's ``checked_basenames`` set, :97-111).
+    Names without a numeric running index fall back to shared-base
+    pairing."""
     stems = {}
     for rel in img_rels:
         stems[Path(rel).stem] = rel
     by_base: dict[str, dict] = {}
+    checked_basenames: set[str] = set()
     out = []
     for stem in sorted(stems):
         if not stem.endswith("_1C"):
@@ -36,6 +39,9 @@ def _filter_pairs(img_rels) -> list:
         parts = stem[:-len("_1C")].split("_", 1)
         if len(parts) == 2 and parts[0].isdigit():
             idx, base = parts
+            if base in checked_basenames:
+                continue
+            checked_basenames.add(base)
             partner = f"{str(int(idx) + 1).zfill(len(idx))}_{base}_2C"
             if partner in stems:
                 out.extend([stems[stem], stems[partner]])
@@ -85,7 +91,7 @@ class JointFaceDataset:
         self.n_exp = n_exp
         self.eval_max_k = eval_max_k
         self.use_flip = use_flip
-        self._rng = np.random.RandomState(seed)
+        self._rng = PerItemRng(seed)
 
         paths_file = self.root / "image_paths" / f"{name}.npy"
         face_dict = np.load(paths_file, allow_pickle=True).item()
@@ -99,13 +105,13 @@ class JointFaceDataset:
     def __len__(self) -> int:
         return len(self.actors)
 
-    def _k_indices(self, n_imgs: int) -> np.ndarray:
+    def _k_indices(self, n_imgs: int, rng) -> np.ndarray:
         k = self.K if self.is_train else min(self.eval_max_k, n_imgs)
         if self.is_train:
             # K random picks with replacement if the actor has < K images
             # (reference samples K random, datasets/base.py:216-220)
             replace = n_imgs < k
-            return self._rng.choice(n_imgs, k, replace=replace)
+            return rng.choice(n_imgs, k, replace=replace)
         return np.arange(k)
 
     def _sr_triplet(self, img_rel: str) -> dict:
@@ -127,7 +133,10 @@ class JointFaceDataset:
         actor = self.actors[index]
         img_rels, flame_rel = self.face_dict[actor]
         img_rels = list(img_rels)
-        idxs = self._k_indices(len(img_rels))
+        # one deterministic per-access generator covers this item's
+        # K-sampling and flip coins (thread-safe under the pool loader)
+        item_rng = self._rng.for_item(index)
+        idxs = self._k_indices(len(img_rels), item_rng)
 
         images, blobs, hrs, srs, lrs, names = [], [], [], [], [], []
         for i in idxs:
@@ -145,7 +154,7 @@ class JointFaceDataset:
                 # the 224 crop and arcface blob are not augmented there)
                 trip["LR"], trip["SR"], trip["HR"] = transform_augment(
                     [trip["LR"], trip["SR"], trip["HR"]], split="train",
-                    rng=self._rng)
+                    rng=item_rng)
             hrs.append(trip["HR"])
             srs.append(trip["SR"])
             lrs.append(trip["LR"])

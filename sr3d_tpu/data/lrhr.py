@@ -16,6 +16,34 @@ import numpy as np
 IMG_EXTENSIONS = {".jpg", ".jpeg", ".png", ".bmp", ".webp"}
 
 
+class PerItemRng:
+    """Deterministic per-access RandomState factory, safe under the
+    multi-threaded BatchLoader.
+
+    A single shared ``RandomState`` mutated from ``__getitem__`` races when
+    ``num_workers`` pool threads load items concurrently (RandomState is
+    not thread-safe, and the draw order would depend on scheduling).  Here
+    each access derives an independent generator from
+    ``(seed, item_index, per-index access count)`` — thread-safe,
+    bit-reproducible regardless of thread interleaving, and still varying
+    across epochs (the count advances per re-visit).
+    """
+
+    def __init__(self, seed: int):
+        import threading
+
+        self.seed = int(seed)
+        self._counts: dict[int, int] = {}
+        self._lock = threading.Lock()
+
+    def for_item(self, index: int) -> np.random.RandomState:
+        with self._lock:
+            count = self._counts.get(index, 0)
+            self._counts[index] = count + 1
+        ss = np.random.SeedSequence([self.seed, int(index), count])
+        return np.random.RandomState(ss.generate_state(4))
+
+
 def get_paths_from_images(path: str | os.PathLike) -> list[str]:
     """Sorted recursive scan (reference datasets/util.py:13-24)."""
     assert os.path.isdir(path), f"{path} is not a valid directory"
@@ -69,7 +97,7 @@ class LRHRDataset:
         self.need_LR = need_LR
         self.split = split
         self.use_flip = use_flip
-        self._rng = np.random.RandomState(seed)
+        self._rng = PerItemRng(seed)
 
         root = Path(dataroot)
         self.sr_paths = get_paths_from_images(
@@ -91,7 +119,8 @@ class LRHRDataset:
         lr = load_image_m11(self.lr_paths[index]) if self.need_LR else None
         if self.split == "train" and self.use_flip:
             group = [hr, sr] + ([lr] if lr is not None else [])
-            group = transform_augment(group, "train", self._rng)
+            group = transform_augment(group, "train",
+                                      self._rng.for_item(index))
             hr, sr = group[0], group[1]
             lr = group[2] if lr is not None else None
         item = {"HR": hr, "SR": sr, "Index": index,

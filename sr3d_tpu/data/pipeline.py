@@ -105,6 +105,11 @@ class BatchLoader:
         """Endless epoch-cycling iterator (the trainer counts steps, not
         epochs — reference lib/trainer_temp.py:283-461 loops while
         step < n_iter)."""
+        if len(self) == 0:
+            raise ValueError(
+                f"BatchLoader yields zero batches (dataset "
+                f"{len(self.dataset)} < batch_size {self.batch_size} with "
+                f"drop_last) — an endless iterator would spin forever")
         while True:
             yield from self.epoch()
 

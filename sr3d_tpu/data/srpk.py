@@ -247,16 +247,22 @@ def migrate_lmdb_records(get, length: int, l_res: int, r_res: int,
             lambda i: get(f"sr_{l_res}_{r_res}_{i:05d}".encode()),
         f"lr_{l_res}": lambda i: get(f"lr_{l_res}_{i:05d}".encode()),
     }
+    # SrpkImageDataset pairs records by POSITION, so all streams must keep
+    # exactly the same index set: an index is valid only when hr AND sr
+    # exist (the reference resamples such indices, LRHR_dataset.py:67-70)
+    # and, when the LMDB carries an LR stream at all, lr too.
+    raw_by_stream = {name: [fetch(i) for i in range(length)]
+                     for name, fetch in streams.items()}
+    has_lr = any(raw is not None
+                 for raw in raw_by_stream[f"lr_{l_res}"])
+    if not has_lr:
+        del raw_by_stream[f"lr_{l_res}"]
+    valid = [i for i in range(length)
+             if all(raws[i] is not None
+                    for raws in raw_by_stream.values())]
     counts = {}
-    for name, fetch in streams.items():
-        imgs = []
-        for i in range(length):
-            raw = fetch(i)
-            if raw is None:
-                if name.startswith("lr_") and not imgs:
-                    break  # LMDBs without the LR stream are valid
-                continue  # reference skips invalid indices (:67-70)
-            imgs.append(decode(raw))
+    for name, raws in raw_by_stream.items():
+        imgs = [decode(raws[i]) for i in valid]
         if imgs:
             pack(out_root / f"{name}.srpk", np.stack(imgs))
             counts[name] = len(imgs)

@@ -130,6 +130,11 @@ class MicaTrainer:
         from .trainer import BestModel
         self.best_model = BestModel(int(cfg.mica.running_average),
                                     save_fn=self._save_best)
+        if self.validator is not None and \
+                getattr(self.validator, "best_model", None) is None:
+            # the val cadence must actually feed the tracker (reference
+            # validator holds the trainer's best_model)
+            self.validator.best_model = self.best_model
 
     def _save_best(self, tag: str) -> None:
         from .checkpoint import save_state_npz

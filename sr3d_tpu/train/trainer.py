@@ -194,7 +194,8 @@ class Trainer:
 
         if isinstance(path_or_step, str) and path_or_step.endswith(".npz"):
             if not Path(path_or_step).exists():
-                return False
+                raise FileNotFoundError(
+                    f"-ckt {path_or_step!r}: file does not exist")
             try:
                 restored = load_state_npz(path_or_step, self.state,
                                           {"global_step": 0, "epoch": 0})
@@ -204,8 +205,13 @@ class Trainer:
                 return self.load_sr_pretrained(path_or_step)
         else:
             if isinstance(path_or_step, str):
-                path_or_step = int(path_or_step) if path_or_step.isdigit() \
-                    else None
+                if not path_or_step.isdigit():
+                    # an explicitly requested checkpoint must not silently
+                    # degrade to latest-step auto-resume
+                    raise FileNotFoundError(
+                        f"-ckt {path_or_step!r}: not a step number and not "
+                        f"an existing .npz checkpoint")
+                path_or_step = int(path_or_step)
             try:
                 restored = self.ckpt.restore(
                     path_or_step, self.state,
@@ -285,8 +291,13 @@ class Trainer:
             # lib/trainer_temp.py:585-588); the val split feeds evaluate_MICA
             train_ds, mica_val_ds = data_lib.random_split(
                 ds, 0.8, seed=int(cfg.seed))
-            if len(mica_val_ds) == 0:       # tiny datasets: fall back
-                train_ds, mica_val_ds = ds, ds
+            if len(mica_val_ds) == 0 or len(train_ds) == 0:
+                train_ds, mica_val_ds = ds, ds   # tiny datasets: fall back
+            if len(train_ds) < int(cfg.mica.datasets.batch_size):
+                raise ValueError(
+                    f"train split has {len(train_ds)} actors < batch_size "
+                    f"{cfg.mica.datasets.batch_size}; drop_last would yield "
+                    f"zero batches")
             self.train_loader = data_lib.BatchLoader(
                 train_ds, batch_size=int(cfg.mica.datasets.batch_size),
                 shuffle=True, seed=int(cfg.seed),
@@ -354,7 +365,7 @@ class Trainer:
             self.global_step += 1
             window.append(metrics)
 
-            if self.global_step % log_steps == 0:
+            if log_steps and self.global_step % log_steps == 0:
                 m = {k: float(np.mean([float(w[k]) for w in window]))
                      for k in window[0]}
                 window.clear()
@@ -368,11 +379,11 @@ class Trainer:
                                                 prefix="train/")
                 self.metrics_writer.add_scalar(
                     "train/sec_per_it", dt / log_steps, self.global_step)
-            if self.global_step % ckpt_steps == 0:
+            if ckpt_steps and self.global_step % ckpt_steps == 0:
                 self.save_checkpoint()
-            if self.global_step % mica_eval_steps == 0:
+            if mica_eval_steps and self.global_step % mica_eval_steps == 0:
                 self.evaluate_MICA()
-            if self.global_step % eval_steps == 0:
+            if eval_steps and self.global_step % eval_steps == 0:
                 self.evaluate()
         self.save_checkpoint()
         self.ckpt.wait()  # drain async orbax writes before returning

@@ -324,7 +324,7 @@ def test_mica_trainer_fit_val_resume(mica_setup, tmp_path):
                           {"SYNTH": DS()}, render_n=0)
     tr = MicaTrainer(cfg, modules, validator=validator,
                      output_dir=tmp_path / "mica")
-    validator.best_model = tr.best_model
+    assert validator.best_model is tr.best_model  # auto-wired
     tr.fit(loader, max_steps=4, val_steps=2, checkpoint_steps=2,
            log_steps=2)
     assert tr.global_step == 4

@@ -149,8 +149,8 @@ def test_batch_loader_workers_overlap():
 
 
 def test_concat_dataset(sr_root):
-    d1 = LRHRDataset(sr_root, 8, 16, data_len=2)
-    d2 = LRHRDataset(sr_root, 8, 16, data_len=3)
+    d1 = LRHRDataset(sr_root, 8, 16, data_len=2, use_flip=False)
+    d2 = LRHRDataset(sr_root, 8, 16, data_len=3, use_flip=False)
     cat = ConcatDataset([d1, d2])
     assert len(cat) == 5
     np.testing.assert_array_equal(cat[2]["HR"], d2[0]["HR"])
@@ -220,6 +220,10 @@ def test_pair_filter_adjacent_index():
     from sr3d_tpu.data.joint import _filter_pairs
 
     imgs = ["a/001_faceA_1C.png", "a/002_faceA_2C.png",   # adjacent: kept
+            "a/003_faceA_1C.png", "a/004_faceA_2C.png",   # 2nd faceA pair:
+                                                          # dropped (first-
+                                                          # per-base only,
+                                                          # ref base.py:97)
             "a/005_faceB_1C.png", "a/009_faceB_2C.png",   # gap: dropped
             "a/010_faceC_1C.png",                         # missing 2C
             "a/noidx_faceD_1C.png", "a/noidx_faceD_2C.png"]  # fallback: kept
@@ -251,12 +255,42 @@ def test_lmdb_to_srpk_migration(tmp_path):
             if name.startswith("hr"):
                 hrs.append(img)
 
+    # drop one hr record: the whole index must be skipped in EVERY stream
+    # so positional pairing stays aligned
+    del store[f"hr_{r}_00000".encode()]
     out = tmp_path / "srpk"
     counts = migrate_lmdb_records(store.get, n, l, r, out)
-    assert counts == {f"hr_{r}": n, f"sr_{l}_{r}": n, f"lr_{l}": n}
+    assert counts == {f"hr_{r}": n - 1, f"sr_{l}_{r}": n - 1,
+                      f"lr_{l}": n - 1}
     ds = SrpkImageDataset(out, l, r, need_LR=True)
-    assert len(ds) == n
-    item = ds[1]
+    assert len(ds) == n - 1
+    item = ds[0]   # first surviving index is original index 1
     np.testing.assert_allclose(
         item["HR"], hrs[1].astype(np.float32) / 127.5 - 1.0)
     assert item["LR"].shape == (l, l, 3)
+
+
+def test_threaded_loader_reproducible_with_augmentation(sr_root):
+    """Per-item rng derivation: train-split (flip-augmented) data is
+    bit-identical between sync and 4-worker threaded loading, and across
+    repeated runs — a shared RandomState raced pool threads and made
+    seeded runs scheduling-dependent (round-2 review finding)."""
+    def batches(num_workers):
+        ds = LRHRDataset(sr_root, 8, 16, split="train", use_flip=True,
+                         seed=3)
+        return list(BatchLoader(ds, 2, shuffle=False,
+                                num_workers=num_workers).epoch())
+
+    sync1, sync2 = batches(0), batches(0)
+    thr = batches(4)
+    for a, b, c in zip(sync1, sync2, thr):
+        np.testing.assert_array_equal(a["HR"], b["HR"])  # run-to-run
+        np.testing.assert_array_equal(a["HR"], c["HR"])  # sync == threaded
+        np.testing.assert_array_equal(a["SR"], c["SR"])
+
+    # and the second epoch differs from the first (counts advance)
+    ds = LRHRDataset(sr_root, 8, 16, split="train", use_flip=True, seed=3)
+    loader = BatchLoader(ds, 2, shuffle=False, num_workers=0)
+    e1 = [b["HR"].copy() for b in loader.epoch()]
+    e2 = [b["HR"].copy() for b in loader.epoch()]
+    assert any(not np.array_equal(a, b) for a, b in zip(e1, e2))

@@ -36,6 +36,10 @@ def make_cfg(root: Path):
     cfg.train.checkpoint_steps = 4
     cfg.train.log_steps = 2
     cfg.mica.train.eval_steps = 4  # evaluate_MICA fires once in a 5-step run
+    # fixed dp=2 under the 8-virtual-device CPU env so the flattened batch
+    # (batch_size*K = 4) divides the data axis; the shipped config keeps
+    # [-1, 1] so single-device smoke runs work
+    cfg.tpu.mesh_shape = [2, 1]
     return cfg
 
 
