@@ -379,3 +379,44 @@ class CreationGenerator:
             counts[inst.name] = n
             logger.info("creation: %s → %d aligned images", inst.name, n)
         return counts
+
+
+def main(argv=None):
+    """CLI entry (reference datasets/creation/main.py:38-46 — which
+    hard-codes the instance list and paths; here they're flags).
+
+    Example::
+
+        python -m sr3d_tpu.data.creation --raw-root /data/raw \
+            --out-root datasets --datasets LYHM STIRLING
+    """
+    import argparse
+
+    ap = argparse.ArgumentParser(
+        description="Offline arcface-input dataset creation "
+                    "(detect/align/blob/index)")
+    ap.add_argument("--raw-root", required=True,
+                    help="root holding <NAME>/images and "
+                         "<NAME>/FLAME_parameters per source")
+    ap.add_argument("--out-root", required=True,
+                    help="output root (writes <NAME>/arcface_input/ and "
+                         "image_paths/<NAME>.npy)")
+    ap.add_argument("--datasets", nargs="+", default=sorted(_INSTANCE_TYPES),
+                    choices=sorted(_INSTANCE_TYPES), metavar="NAME",
+                    help="subset of the nine sources (default: all)")
+    ap.add_argument("--seed", type=int, default=42,
+                    help="np seed for per-actor subsampling (reference "
+                         "main.py:36 uses 42)")
+    args = ap.parse_args(argv)
+
+    np.random.seed(args.seed)
+    instances = [i for i in standard_instances(args.raw_root)
+                 if i.name in set(args.datasets)]
+    counts = CreationGenerator(instances, args.out_root).run()
+    for name, n in counts.items():
+        print(f"{name}: {n} aligned images")
+    return counts
+
+
+if __name__ == "__main__":
+    main()

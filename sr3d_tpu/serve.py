@@ -44,20 +44,51 @@ class Predictor:
     """
 
     def __init__(self, cfg, modules: JointModules, state,
-                 batch_size: int = 8, use_ema: bool = False):
+                 batch_size: int = 8, use_ema: bool = False,
+                 mesh=None, spatial: bool = False):
+        """With ``mesh``, the request is served over the device mesh:
+        batch sharded over the ``data`` axis (throughput), or — with
+        ``spatial=True`` — image height sharded over the ``model`` axis
+        (latency: one face's sampling spread across chips; GSPMD inserts
+        the conv halo exchanges, parallel/steps.py::pjit_sample_spatial
+        semantics)."""
         self.cfg = cfg
-        self.modules = modules
-        self.state = state
         self.batch_size = int(batch_size)
         self.hr = int(cfg.sr.model.diffusion.image_size)
         self.lr = int(cfg.sr.datasets.val.l_resolution)
-        self._step = jax.jit(make_val_step(use_ema=use_ema))
+        step_fn = make_val_step(use_ema=use_ema)
+        if mesh is None:
+            self.modules, self.state = modules, state
+            self._step = jax.jit(step_fn)
+        else:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from .parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+            repl = NamedSharding(mesh, P())
+            if spatial:
+                if self.hr % mesh.shape[MODEL_AXIS]:
+                    raise ValueError(
+                        f"image height {self.hr} not divisible by the "
+                        f"model axis ({mesh.shape[MODEL_AXIS]})")
+                batch_sh = {"SR": NamedSharding(mesh, P(None, MODEL_AXIS))}
+            else:
+                if self.batch_size % mesh.shape[DATA_AXIS]:
+                    raise ValueError(
+                        f"batch_size {self.batch_size} not divisible by the "
+                        f"data axis ({mesh.shape[DATA_AXIS]})")
+                batch_sh = {"SR": NamedSharding(mesh, P(DATA_AXIS))}
+            self.modules = jax.device_put(modules, repl)
+            self.state = jax.device_put(state, repl)
+            self._step = jax.jit(step_fn,
+                                 in_shardings=(repl, repl, batch_sh, repl),
+                                 out_shardings=repl)
 
     # ------------------------------------------------------------------
     @classmethod
     def from_config(cls, cfg, checkpoint: str | None = None,
-                    batch_size: int = 8, use_ema: bool = False
-                    ) -> "Predictor":
+                    batch_size: int = 8, use_ema: bool = False,
+                    mesh=None, spatial: bool = False) -> "Predictor":
         """Build modules from the config and load a checkpoint: a named
         ``.npz`` (best_model / save_state_npz format), a converted
         reference UNet ``.npz``, or the latest orbax step in
@@ -93,7 +124,8 @@ class Predictor:
         else:
             raise FileNotFoundError(f"checkpoint {checkpoint!r}: expected a "
                                     f".npz path or None for auto-resume")
-        return cls(cfg, modules, state, batch_size, use_ema)
+        return cls(cfg, modules, state, batch_size, use_ema,
+                   mesh=mesh, spatial=spatial)
 
     # ------------------------------------------------------------------
     def _prep_cond(self, lr_imgs: np.ndarray) -> np.ndarray:
@@ -120,6 +152,9 @@ class Predictor:
 
         cond = self._prep_cond(lr_imgs)
         n = cond.shape[0]
+        if n == 0:
+            return {k: np.zeros((0,), np.float32)
+                    for k in ("sr_u8", "verts", "lmk68", "identity")}
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         outs: list[dict] = []
         for i in range(0, n, self.batch_size):

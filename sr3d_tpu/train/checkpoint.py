@@ -72,6 +72,79 @@ def load_leaves_into(path: str | os.PathLike, target: Any) -> Any:
     return jax.tree_util.tree_unflatten(treedef, leaves)
 
 
+def transfer_sr_adam_moments(joint_opt_state: Any, sr_params_template: Any,
+                             opt_npz_path: str | os.PathLike) -> Any | None:
+    """Transfer SR-only Adam moments into the joint optimizer's ``sr`` slot.
+
+    The reference joint trainer keeps a *separate* ``opt_sr`` and loads the
+    SR-only optimizer state into it wholesale on warm start
+    (lib/trainer_temp.py:211-216 ``self.opt_sr.load_state_dict``).  Here the
+    joint optimizer is one ``optax.multi_transform`` whose ``"sr"`` label is
+    its own Adam (train/joint.py::make_optimizer), so the equivalent is tree
+    surgery: copy ``mu``/``nu`` for every ``params['sr']`` leaf and the
+    ``sr`` inner state's step counts from the SR-only ``_opt.npz``
+    (written by SRModel.save_network as flat ``leaf_i`` in the flatten order
+    of ``optax.adam(lr).init(params)``).
+
+    Returns the new joint opt_state, or ``None`` when the saved state does
+    not match a plain-Adam SR template (e.g. a finetune_norm multi_transform
+    run) — callers then keep fresh moments, which rebuild within ~1k steps.
+    """
+    import optax
+    from jax.tree_util import keystr, tree_flatten_with_path
+
+    data = np.load(opt_npz_path, allow_pickle=True)
+    leaves = [data[f"leaf_{i}"] for i in range(
+        sum(1 for k in data.files if k.startswith("leaf_")))]
+    template = optax.adam(0.0).init(
+        jax.tree.map(np.asarray, sr_params_template))
+    t_leaves, treedef = jax.tree_util.tree_flatten(template)
+    if len(leaves) != len(t_leaves) or any(
+            np.shape(a) != np.shape(b)
+            for a, b in zip(leaves, t_leaves)):
+        return None
+    sr_state = jax.tree_util.tree_unflatten(treedef, leaves)
+
+    # SR-only side: {('mu'|'nu', <suffix-after-.mu/.nu>) -> leaf}, one count
+    moments: dict[tuple, np.ndarray] = {}
+    count = None
+    for path, leaf in tree_flatten_with_path(sr_state)[0]:
+        ks = keystr(path)
+        for kind in ("mu", "nu"):
+            tag = f".{kind}"
+            if tag in ks:
+                moments[(kind, ks.split(tag, 1)[1])] = leaf
+                break
+        else:
+            if ks.endswith(".count"):
+                count = leaf
+
+    # joint side: replace leaves under inner_states['sr'] by suffix match
+    flat, jdef = tree_flatten_with_path(joint_opt_state)
+    out, replaced = [], 0
+    for path, leaf in flat:
+        ks = keystr(path)
+        new = leaf
+        if "inner_states['sr']" in ks:
+            for kind in ("mu", "nu"):
+                tag = f".{kind}['sr']"
+                if tag in ks:
+                    src = moments.get((kind, ks.split(tag, 1)[1]))
+                    if src is not None and np.shape(src) == np.shape(leaf):
+                        new = np.asarray(src, np.asarray(leaf).dtype)
+                        replaced += 1
+                    break
+            else:
+                # both scale_by_adam.count and the lr-schedule count
+                if ks.endswith(".count") and count is not None:
+                    new = np.asarray(count, np.asarray(leaf).dtype)
+                    replaced += 1
+        out.append(new)
+    if replaced == 0:
+        return None
+    return jax.tree_util.tree_unflatten(jdef, out)
+
+
 class CheckpointManager:
     """Thin wrapper: save/restore the JointTrainState + metadata."""
 

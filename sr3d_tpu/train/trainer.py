@@ -242,13 +242,19 @@ class Trainer:
         directly from a converted reference ``.npz``
         (``utils/convert.py --kind sr3_unet`` output).  Reference:
         lib/trainer_temp.py:195-221 (loads ``_gen.pth``/``_opt.pth`` into the
-        joint trainer).  Optimizer *moments* are not transferred — the joint
-        multi_transform topology differs from the SR-only Adam — only the
-        step/epoch counters (noted in PARITY.md)."""
-        from .checkpoint import load_leaves_into, load_state_npz
+        joint trainer — both network and optimizer state, matching its
+        separate ``opt_sr``; here the moments transfer into the joint
+        multi_transform's ``sr`` slot via
+        :func:`~sr3d_tpu.train.checkpoint.transfer_sr_adam_moments`)."""
+        from .checkpoint import (
+            load_leaves_into,
+            load_state_npz,
+            transfer_sr_adam_moments,
+        )
 
         gen_path = f"{prefix}_gen.npz"
         params = dict(self.state.params)
+        opt_state = self.state.opt_state
         if Path(gen_path).exists():
             params["sr"] = load_state_npz(
                 gen_path, self.state.params["sr"])["state"]
@@ -257,6 +263,15 @@ class Trainer:
                 data = np.load(opt_path, allow_pickle=True)
                 self.global_step = int(data["iter"])
                 self.epoch = int(data["epoch"])
+                new_opt = transfer_sr_adam_moments(
+                    jax.device_get(opt_state), params["sr"], opt_path)
+                if new_opt is not None:
+                    opt_state = new_opt
+                    logger.info("[SR] transferred Adam moments from %s",
+                                opt_path)
+                else:
+                    logger.info("[SR] %s does not match a plain-Adam SR "
+                                "state; moments start fresh", opt_path)
                 logger.info("[SR] resumed counters from %s (step %d)",
                             opt_path, self.global_step)
         elif prefix.endswith(".npz") and Path(prefix).exists():
@@ -265,8 +280,9 @@ class Trainer:
         else:
             logger.info("[SR] no pretrained model found at %s", prefix)
             return False
-        self.state = jax.device_put(self.state._replace(params=params),
-                                    self._state_shardings)
+        self.state = jax.device_put(
+            self.state._replace(params=params, opt_state=opt_state),
+            self._state_shardings)
         logger.info("[SR] warm-started SR branch from %s", prefix)
         return True
 

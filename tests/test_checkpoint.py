@@ -162,6 +162,67 @@ def test_joint_warm_start_from_sr_pair(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_joint_warm_start_transfers_adam_moments(tmp_path):
+    """Warm start loads the SR-only optimizer state into the joint
+    optimizer's ``sr`` slot (reference lib/trainer_temp.py:211-216 loads
+    ``_opt.pth`` into its separate ``opt_sr``): the mu/nu moments and the
+    Adam step counts of the ``sr`` inner state match the SR-only run, and
+    every non-sr moment stays untouched (zeros)."""
+    import jax
+    from jax.tree_util import keystr, tree_flatten_with_path
+
+    from sr3d_tpu.train.sr_only import SRModel
+
+    cfg = _tiny_cfg()
+    m = SRModel(cfg, dtype=jnp.float32)
+    sr_state = m.init_state(jax.random.PRNGKey(3))
+    step = m.make_train_step()
+    rng = np.random.RandomState(0)
+    batch = {"HR": rng.uniform(-1, 1, (2, 16, 16, 3)).astype(np.float32),
+             "SR": rng.uniform(-1, 1, (2, 16, 16, 3)).astype(np.float32)}
+    for i in range(2):  # nonzero moments
+        sr_state, _ = jax.jit(step)(sr_state, batch,
+                                    jax.random.PRNGKey(10 + i))
+    prefix = m.save_network(tmp_path / "sr", sr_state, epoch=1, iter_step=2)
+
+    trainer, _ = _joint_trainer(tmp_path, cfg)
+    assert trainer.load_sr_pretrained(prefix)
+
+    # index SR-only moments by their path suffix
+    sr_moments = {}
+    for path, leaf in tree_flatten_with_path(
+            jax.device_get(sr_state.opt_state))[0]:
+        ks = keystr(path)
+        for kind in ("mu", "nu"):
+            if f".{kind}" in ks:
+                sr_moments[(kind, ks.split(f".{kind}", 1)[1])] = leaf
+                break
+    assert sr_moments and any(
+        np.abs(v).max() > 0 for v in sr_moments.values())
+
+    checked = counts = 0
+    for path, leaf in tree_flatten_with_path(
+            jax.device_get(trainer.state.opt_state))[0]:
+        ks = keystr(path)
+        if "inner_states['sr']" not in ks:
+            if ".mu" in ks or ".nu" in ks:   # non-sr moments stay fresh
+                assert np.abs(np.asarray(leaf)).max() == 0, ks
+            continue
+        for kind in ("mu", "nu"):
+            tag = f".{kind}['sr']"
+            if tag in ks:
+                np.testing.assert_array_equal(
+                    np.asarray(leaf),
+                    sr_moments[(kind, ks.split(tag, 1)[1])], err_msg=ks)
+                checked += 1
+                break
+        else:
+            if ks.endswith(".count"):
+                assert int(leaf) == 2, ks
+                counts += 1
+    assert checked == len(sr_moments) and counts >= 1
+
+
 def test_joint_warm_start_from_converted_npz(tmp_path):
     """A utils/convert.py-style flat leaf_i .npz loads through the same
     warm-start path (and through cfg.sr.pretrained_model_path in fit)."""

@@ -178,6 +178,31 @@ def test_instance_filters_and_subsampling(tmp_path):
     assert st.actor_of(root / "f1001_003.jpg") == "F1001"
 
 
+def test_creation_cli(tmp_path):
+    """CLI entry (reference datasets/creation/main.py) — runs the generator
+    over a selected subset and writes the index."""
+    from PIL import Image
+
+    from sr3d_tpu.data.creation import main
+
+    raw = tmp_path / "raw" / "FACEWAREHOUSE" / "images" / "actorA"
+    raw.mkdir(parents=True)
+    rng = np.random.RandomState(0)
+    for i in range(2):
+        Image.fromarray(
+            rng.randint(0, 255, (64, 64, 3), dtype=np.uint8)
+        ).save(raw / f"img{i}.jpg")
+
+    out = tmp_path / "out"
+    counts = main(["--raw-root", str(tmp_path / "raw"),
+                   "--out-root", str(out),
+                   "--datasets", "FACEWAREHOUSE"])
+    assert counts == {"FACEWAREHOUSE": 2}
+    idx = np.load(out / "image_paths" / "FACEWAREHOUSE.npy",
+                  allow_pickle=True).item()
+    assert list(idx) == ["actorA"] and len(idx["actorA"][0]) == 2
+
+
 def test_standard_instances_have_source_adapters():
     from sr3d_tpu.data.creation import (
         _INSTANCE_TYPES,

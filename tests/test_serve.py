@@ -79,6 +79,42 @@ def test_predictor_converted_npz_and_export(predictor_setup, tmp_path):
     assert (tmp_path / "bundle" / "faceA" / "kpt68.npy").exists()
 
 
+def test_predictor_mesh_dp_and_spatial_match_single_device(predictor_setup):
+    """Mesh-served requests (DP batch sharding; spatial H sharding) return
+    the same results as the single-device Predictor — serving parity of
+    parallel/steps.py's sharding semantics inside the one-jit pipeline."""
+    import jax
+
+    from sr3d_tpu.parallel.mesh import make_mesh
+    from sr3d_tpu.serve import Predictor
+
+    cfg, _, ckpt = predictor_setup
+    lr = np.random.RandomState(2).randint(0, 255, (4, 8, 8, 3), np.uint8)
+    rng = jax.random.PRNGKey(7)
+
+    ref = Predictor.from_config(cfg, checkpoint=str(ckpt),
+                                batch_size=4).predict(lr, rng=rng)
+
+    dp = Predictor.from_config(cfg, checkpoint=str(ckpt), batch_size=4,
+                               mesh=make_mesh((4, 1))).predict(lr, rng=rng)
+    np.testing.assert_array_equal(dp["sr_u8"], ref["sr_u8"])
+    np.testing.assert_allclose(dp["verts"], ref["verts"], atol=1e-5)
+
+    sp = Predictor.from_config(cfg, checkpoint=str(ckpt), batch_size=4,
+                               mesh=make_mesh((1, 4)),
+                               spatial=True).predict(lr, rng=rng)
+    # halo-exchange reductions reorder float ops: bit-close, not bit-equal
+    assert np.mean(sp["sr_u8"] != ref["sr_u8"]) < 0.02  # ±1 quantisation
+    np.testing.assert_allclose(sp["verts"], ref["verts"], atol=1e-4)
+
+    with pytest.raises(ValueError):
+        Predictor.from_config(cfg, checkpoint=str(ckpt), batch_size=3,
+                              mesh=make_mesh((4, 1)))
+    with pytest.raises(ValueError):
+        Predictor.from_config(cfg, checkpoint=str(ckpt), batch_size=4,
+                              mesh=make_mesh((1, 5)), spatial=True)
+
+
 def test_predictor_bad_checkpoint_raises(predictor_setup):
     from sr3d_tpu.serve import Predictor
 
