@@ -51,6 +51,7 @@ class Instance:
     mesh_rotations: tuple = ()          # ((axis, degrees), ...)
     fix_obj: bool = False               # run update_obj before loading
     fix_mtl: bool = False
+    subsample_seed: int = 0             # rng for max_images_per_actor picks
     extra: dict = field(default_factory=dict)
 
     def iter_images(self):
@@ -62,7 +63,7 @@ class Instance:
             if any(sub in str(p) for sub in self.image_exclude):
                 continue
             by_actor.setdefault(self.actor_of(p), []).append(p)
-        rng = np.random.RandomState(0)
+        rng = np.random.RandomState(self.subsample_seed)
         for actor in sorted(by_actor):
             imgs = by_actor[actor]
             if self.max_images_per_actor and \
@@ -375,7 +376,14 @@ class CreationGenerator:
                 n += 1
             ip = self.out_root / "image_paths"
             ip.mkdir(parents=True, exist_ok=True)
-            np.save(ip / f"{inst.name}.npy", paths_dict)
+            idx_path = ip / f"{inst.name}.npy"
+            if n == 0 and idx_path.exists():
+                # never clobber a previously built index with an empty one
+                # (e.g. the raw tree was moved/unmounted)
+                logger.warning("creation: %s found no images; keeping the "
+                               "existing index %s", inst.name, idx_path)
+            else:
+                np.save(idx_path, paths_dict)
             counts[inst.name] = n
             logger.info("creation: %s → %d aligned images", inst.name, n)
         return counts
@@ -405,13 +413,21 @@ def main(argv=None):
                     choices=sorted(_INSTANCE_TYPES), metavar="NAME",
                     help="subset of the nine sources (default: all)")
     ap.add_argument("--seed", type=int, default=42,
-                    help="np seed for per-actor subsampling (reference "
-                         "main.py:36 uses 42)")
+                    help="rng seed for per-actor subsampling "
+                         "(FLORENCE/PB4D; reference main.py:36 uses 42)")
     args = ap.parse_args(argv)
 
-    np.random.seed(args.seed)
-    instances = [i for i in standard_instances(args.raw_root)
-                 if i.name in set(args.datasets)]
+    instances = []
+    for inst in standard_instances(args.raw_root):
+        if inst.name not in set(args.datasets):
+            continue
+        if not os.path.isdir(inst.images_root):
+            # absent sources are skipped, not indexed as empty
+            logger.warning("creation: %s has no images at %s — skipping",
+                           inst.name, inst.images_root)
+            continue
+        inst.subsample_seed = args.seed
+        instances.append(inst)
     counts = CreationGenerator(instances, args.out_root).run()
     for name, n in counts.items():
         print(f"{name}: {n} aligned images")

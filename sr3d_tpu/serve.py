@@ -150,11 +150,15 @@ class Predictor:
         "lmk68" [N,68,3], "identity" [N,n_shape]}``."""
         from .ops.image import tensor_to_uint8
 
+        if np.size(lr_imgs) == 0:
+            nv = int(self.modules.flame.v_template.shape[0])
+            ns = int(self.cfg.mica.model.n_shape)
+            return {"sr_u8": np.zeros((0, self.hr, self.hr, 3), np.uint8),
+                    "verts": np.zeros((0, nv, 3), np.float32),
+                    "lmk68": np.zeros((0, 68, 3), np.float32),
+                    "identity": np.zeros((0, ns), np.float32)}
         cond = self._prep_cond(lr_imgs)
         n = cond.shape[0]
-        if n == 0:
-            return {k: np.zeros((0,), np.float32)
-                    for k in ("sr_u8", "verts", "lmk68", "identity")}
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         outs: list[dict] = []
         for i in range(0, n, self.batch_size):

@@ -45,8 +45,16 @@ def load_state_npz(path: str | os.PathLike, target: Any,
     data = np.load(path, allow_pickle=True)
     leaves = [data[f"leaf_{i}"] for i in range(
         sum(1 for k in data.files if k.startswith("leaf_")))]
-    _, treedef = jax.tree_util.tree_flatten(
+    t_leaves, treedef = jax.tree_util.tree_flatten(
         {"state": target, "meta": metadata_like or {}})
+    if len(leaves) != len(t_leaves):
+        raise ValueError(
+            f"{path}: {len(leaves)} arrays, target has {len(t_leaves)}")
+    for i, (a, b) in enumerate(zip(leaves, t_leaves)):
+        if np.shape(a) != np.shape(b):
+            raise ValueError(
+                f"{path}: leaf {i} shape {np.shape(a)} != target "
+                f"{np.shape(b)} — checkpoint does not match this config")
     return jax.tree_util.tree_unflatten(treedef, leaves)
 
 
@@ -93,17 +101,12 @@ def transfer_sr_adam_moments(joint_opt_state: Any, sr_params_template: Any,
     import optax
     from jax.tree_util import keystr, tree_flatten_with_path
 
-    data = np.load(opt_npz_path, allow_pickle=True)
-    leaves = [data[f"leaf_{i}"] for i in range(
-        sum(1 for k in data.files if k.startswith("leaf_")))]
     template = optax.adam(0.0).init(
         jax.tree.map(np.asarray, sr_params_template))
-    t_leaves, treedef = jax.tree_util.tree_flatten(template)
-    if len(leaves) != len(t_leaves) or any(
-            np.shape(a) != np.shape(b)
-            for a, b in zip(leaves, t_leaves)):
+    try:
+        sr_state = load_leaves_into(opt_npz_path, template)
+    except ValueError:
         return None
-    sr_state = jax.tree_util.tree_unflatten(treedef, leaves)
 
     # SR-only side: {('mu'|'nu', <suffix-after-.mu/.nu>) -> leaf}, one count
     moments: dict[tuple, np.ndarray] = {}
@@ -119,10 +122,14 @@ def transfer_sr_adam_moments(joint_opt_state: Any, sr_params_template: Any,
             if ks.endswith(".count"):
                 count = leaf
 
-    # joint side: replace leaves under inner_states['sr'] by suffix match
+    # joint side: replace leaves under inner_states['sr'] by suffix match.
+    # Counts are transferred only when at least one moment matched — a
+    # width-mismatched checkpoint must fall back to fully-fresh Adam, not
+    # an advanced count with zero moments (biased first steps).
     flat, jdef = tree_flatten_with_path(joint_opt_state)
     out, replaced = [], 0
-    for path, leaf in flat:
+    count_positions = []
+    for i, (path, leaf) in enumerate(flat):
         ks = keystr(path)
         new = leaf
         if "inner_states['sr']" in ks:
@@ -137,11 +144,12 @@ def transfer_sr_adam_moments(joint_opt_state: Any, sr_params_template: Any,
             else:
                 # both scale_by_adam.count and the lr-schedule count
                 if ks.endswith(".count") and count is not None:
-                    new = np.asarray(count, np.asarray(leaf).dtype)
-                    replaced += 1
+                    count_positions.append(i)
         out.append(new)
     if replaced == 0:
         return None
+    for i in count_positions:
+        out[i] = np.asarray(count, np.asarray(flat[i][1]).dtype)
     return jax.tree_util.tree_unflatten(jdef, out)
 
 

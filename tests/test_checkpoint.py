@@ -223,6 +223,33 @@ def test_joint_warm_start_transfers_adam_moments(tmp_path):
     assert checked == len(sr_moments) and counts >= 1
 
 
+def test_moment_transfer_rejects_mismatched_checkpoint(tmp_path):
+    """A width-mismatched (or structurally foreign) _opt.npz must yield
+    fully-fresh Adam — never an advanced count with zero moments."""
+    import jax
+
+    from sr3d_tpu.train.checkpoint import transfer_sr_adam_moments
+    from sr3d_tpu.train.sr_only import SRModel
+
+    cfg = _tiny_cfg()
+    wide = _tiny_cfg()
+    wide.sr.model.unet.inner_channel = 32  # different widths, same tree
+    m_wide = SRModel(wide, dtype=jnp.float32)
+    state_w = m_wide.init_state(jax.random.PRNGKey(0))
+    prefix = m_wide.save_network(tmp_path / "sr", state_w,
+                                 epoch=1, iter_step=9)
+
+    trainer, _ = _joint_trainer(tmp_path, cfg)
+    got = transfer_sr_adam_moments(
+        jax.device_get(trainer.state.opt_state),
+        trainer.state.params["sr"], f"{prefix}_opt.npz")
+    assert got is None
+    # the trainer path now fails loudly on mismatched *params* too (shape
+    # validation in load_state_npz) instead of installing garbage weights
+    with pytest.raises(ValueError, match="does not match this config"):
+        trainer.load_sr_pretrained(prefix)
+
+
 def test_joint_warm_start_from_converted_npz(tmp_path):
     """A utils/convert.py-style flat leaf_i .npz loads through the same
     warm-start path (and through cfg.sr.pretrained_model_path in fit)."""

@@ -203,6 +203,55 @@ def test_creation_cli(tmp_path):
     assert list(idx) == ["actorA"] and len(idx["actorA"][0]) == 2
 
 
+def test_subsample_seed_changes_picks(tmp_path):
+    """--seed reaches the per-actor subsampler (a review found the CLI seed
+    was a no-op: iter_images hard-coded RandomState(0))."""
+    from PIL import Image
+
+    from sr3d_tpu.data.creation import Florence
+
+    root = tmp_path / "imgs" / "subj"
+    root.mkdir(parents=True)
+    for i in range(12):
+        Image.new("RGB", (8, 8)).save(root / f"a{i:02d}.jpg")
+    picks = {}
+    for seed in (0, 1):
+        fl = Florence(images_root=str(tmp_path / "imgs"),
+                      max_images_per_actor=3, subsample_seed=seed)
+        picks[seed] = [p.name for p in fl.iter_images()]
+        assert len(picks[seed]) == 3
+    assert picks[0] != picks[1]
+
+
+def test_creation_never_clobbers_index_with_empty(tmp_path):
+    """A rerun against a missing/moved raw tree must not overwrite a good
+    image_paths index with an empty dict, and the CLI skips absent
+    sources entirely."""
+    from PIL import Image
+
+    from sr3d_tpu.data.creation import CreationGenerator, Instance, main
+
+    raw = tmp_path / "raw" / "MINI" / "images" / "a0"
+    raw.mkdir(parents=True)
+    Image.new("RGB", (64, 64)).save(raw / "x.jpg")
+    out = tmp_path / "out"
+    inst = Instance(name="MINI", images_root=str(tmp_path / "raw" / "MINI"
+                                                 / "images"))
+    assert CreationGenerator([inst], out).run() == {"MINI": 1}
+    idx_path = out / "image_paths" / "MINI.npy"
+    before = idx_path.read_bytes()
+
+    gone = Instance(name="MINI", images_root=str(tmp_path / "raw" / "gone"))
+    assert CreationGenerator([gone], out).run() == {"MINI": 0}
+    assert idx_path.read_bytes() == before  # index preserved
+
+    # CLI: sources without an images dir are skipped, not emptied
+    counts = main(["--raw-root", str(tmp_path / "raw"),
+                   "--out-root", str(out)])
+    assert counts == {}  # none of the nine standard sources exist here
+    assert idx_path.read_bytes() == before
+
+
 def test_standard_instances_have_source_adapters():
     from sr3d_tpu.data.creation import (
         _INSTANCE_TYPES,

@@ -115,6 +115,25 @@ def test_predictor_mesh_dp_and_spatial_match_single_device(predictor_setup):
                               mesh=make_mesh((1, 5)), spatial=True)
 
 
+def test_predictor_empty_request(predictor_setup):
+    """Zero-face requests return correctly-shaped, correctly-typed empties
+    (callers concatenate results across requests)."""
+    from sr3d_tpu.serve import Predictor
+
+    cfg, _, ckpt = predictor_setup
+    p = Predictor.from_config(cfg, checkpoint=str(ckpt), batch_size=2)
+    for req in ([], np.zeros((0, 8, 8, 3), np.uint8)):
+        out = p.predict(req)
+        assert out["sr_u8"].shape == (0, 16, 16, 3)
+        assert out["sr_u8"].dtype == np.uint8
+        assert out["verts"].shape[0] == 0 and out["verts"].shape[2] == 3
+        assert out["lmk68"].shape == (0, 68, 3)
+        assert out["identity"].shape == (0, 16)
+        # concatenable with a real response
+        full = p.predict(np.zeros((1, 8, 8, 3), np.uint8))
+        np.concatenate([out["verts"], full["verts"]])
+
+
 def test_predictor_bad_checkpoint_raises(predictor_setup):
     from sr3d_tpu.serve import Predictor
 
