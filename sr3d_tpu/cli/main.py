@@ -93,9 +93,20 @@ def run_sr_only(cfg, max_steps=None):
         logger.info("[SR] resumed @ step %d", begin_step)
 
     tr = cfg.sr.datasets.train
-    ds = data_lib.LRHRDataset(
-        dataroot=tr.dataroot, l_resolution=int(tr.l_resolution),
-        r_resolution=int(tr.r_resolution), split="train")
+    if str(tr.get("datatype", "img")) == "srpk":
+        # packed-store training path (the reference's lmdb datatype for the
+        # train split, datasets/LRHR_dataset.py:18-27); same grouped-hflip
+        # train semantics as the img path
+        from ..data.srpk import SrpkImageDataset
+
+        ds = SrpkImageDataset(
+            tr.dataroot, int(tr.l_resolution), int(tr.r_resolution),
+            split="train", data_len=int(tr.get("data_len", -1)),
+            use_flip=bool(tr.get("use_flip", True)), seed=int(cfg.seed))
+    else:
+        ds = data_lib.LRHRDataset(
+            dataroot=tr.dataroot, l_resolution=int(tr.l_resolution),
+            r_resolution=int(tr.r_resolution), split="train")
     loader = data_lib.BatchLoader(ds, batch_size=int(tr.batch_size),
                                   shuffle=True, seed=int(cfg.seed))
     step_fn = jax.jit(m.make_train_step(), donate_argnums=0)

@@ -46,14 +46,16 @@ def _filter_pairs(img_rels) -> list:
             if partner in stems:
                 out.extend([stems[stem], stems[partner]])
         else:
-            base = parts[-1]
-            by_base.setdefault(base, {})["_1C"] = stems[stem]
+            # index-free naming: the pair key is the FULL stem minus the
+            # view suffix (a prefix-split key would alias unrelated
+            # captures sharing a suffix)
+            by_base.setdefault(stem[:-len("_1C")], {})["_1C"] = stems[stem]
     for rel in img_rels:  # index-free fallback path
         stem = Path(rel).stem
         if stem.endswith("_2C"):
             parts = stem[:-len("_2C")].split("_", 1)
             if not (len(parts) == 2 and parts[0].isdigit()):
-                by_base.setdefault(parts[-1], {})["_2C"] = rel
+                by_base.setdefault(stem[:-len("_2C")], {})["_2C"] = rel
     for base in sorted(by_base):
         views = by_base[base]
         if "_1C" in views and "_2C" in views:
@@ -101,18 +103,24 @@ class JointFaceDataset:
             face_dict = {a: v for a, v in face_dict.items() if v[0]}
         self.actors = sorted(face_dict.keys())
         self.face_dict = face_dict
+        # eval K is DATASET-WIDE fixed (min over actors, capped) so every
+        # item has the same static shapes (reference min_max_K,
+        # datasets/base.py:183-194, :219) — per-actor K would break batch
+        # collation and recompile the jit per distinct K
+        self._eval_k = min(
+            self.eval_max_k,
+            min((len(v[0]) for v in face_dict.values()), default=0))
 
     def __len__(self) -> int:
         return len(self.actors)
 
     def _k_indices(self, n_imgs: int, rng) -> np.ndarray:
-        k = self.K if self.is_train else min(self.eval_max_k, n_imgs)
         if self.is_train:
             # K random picks with replacement if the actor has < K images
             # (reference samples K random, datasets/base.py:216-220)
-            replace = n_imgs < k
-            return rng.choice(n_imgs, k, replace=replace)
-        return np.arange(k)
+            replace = n_imgs < self.K
+            return rng.choice(n_imgs, self.K, replace=replace)
+        return np.arange(self._eval_k)
 
     def _sr_triplet(self, img_rel: str) -> dict:
         """HR/LR/SR pngs materialised next to the actor
@@ -166,8 +174,12 @@ class JointFaceDataset:
         exp = np.zeros(self.n_exp, np.float32)
         shape[:min(self.n_shape, betas.shape[0])] = \
             betas[:min(self.n_shape, betas.shape[0])]
-        if betas.shape[0] > 300:
-            e = betas[300:300 + self.n_exp]
+        # FLAME 2020 betas pack 300 shape + 100 expression (reference
+        # datasets/base.py:227-228 betas[:300] / betas[300:]); synthetic
+        # roots with a smaller n_shape pack n_shape + n_exp instead
+        off = 300 if betas.shape[0] > 300 else self.n_shape
+        if betas.shape[0] > off:
+            e = betas[off:off + self.n_exp]
             exp[:e.shape[0]] = e
 
         K = len(idxs)

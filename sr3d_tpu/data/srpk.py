@@ -57,27 +57,49 @@ def have_native() -> bool:
     return _LIB is not None
 
 
-def pack(path: str | os.PathLike, arrays: np.ndarray) -> None:
-    """Write [N, ...] uint8/float32 tensors as an SRPK file (pure python —
-    packing is offline, reading is the hot path)."""
-    arrays = np.ascontiguousarray(arrays)
-    dtype = np.dtype(arrays.dtype)
+def _make_header(count: int, shape: tuple, dtype: np.dtype) -> bytes:
     if dtype not in _DTYPE_CODES:
         raise TypeError(f"unsupported dtype {dtype}")
-    shape = arrays.shape[1:]
     if len(shape) > 8:
         raise ValueError("at most 8 record dims")
+    record_bytes = int(np.prod(shape, dtype=np.int64)) * dtype.itemsize
     header = bytearray(_HEADER)
     header[0:8] = _MAGIC
-    header[8:16] = np.uint64(arrays.shape[0]).tobytes()
-    header[16:24] = np.uint64(arrays[0].nbytes).tobytes()
+    header[8:16] = np.uint64(count).tobytes()
+    header[16:24] = np.uint64(record_bytes).tobytes()
     header[24:32] = np.uint64(len(shape)).tobytes()
-    header[32:32 + 8 * len(shape)] = np.asarray(shape,
-                                                np.uint64).tobytes()
+    header[32:32 + 8 * len(shape)] = np.asarray(shape, np.uint64).tobytes()
     header[96:100] = np.uint32(_DTYPE_CODES[dtype]).tobytes()
+    return bytes(header)
+
+
+def pack(path: str | os.PathLike, arrays: np.ndarray) -> None:
+    """Write [N, ...] uint8/float32 tensors as an SRPK file (pure python —
+    packing is offline, reading is the hot path).  N may be 0 (valid empty
+    store: record_bytes comes from the shape, not arrays[0])."""
+    arrays = np.ascontiguousarray(arrays)
     with open(path, "wb") as f:
-        f.write(bytes(header))
+        f.write(_make_header(arrays.shape[0], arrays.shape[1:],
+                             np.dtype(arrays.dtype)))
         f.write(arrays.tobytes())
+
+
+def pack_stream(path: str | os.PathLike, records, count: int,
+                shape: tuple, dtype) -> None:
+    """Streaming pack: write ``count`` records from an iterable one at a
+    time (O(1 record) memory — for migrations too large to materialise)."""
+    dtype = np.dtype(dtype)
+    n = 0
+    with open(path, "wb") as f:
+        f.write(_make_header(count, tuple(shape), dtype))
+        for rec in records:
+            rec = np.ascontiguousarray(rec, dtype)
+            if rec.shape != tuple(shape):
+                raise ValueError(f"record {n}: shape {rec.shape} != {shape}")
+            f.write(rec.tobytes())
+            n += 1
+    if n != count:
+        raise ValueError(f"wrote {n} records, header promised {count}")
 
 
 class SrpkReader:
@@ -156,27 +178,46 @@ class SrpkReader:
 
 class SrpkImageDataset:
     """LRHR-style dataset over three SRPK stores (hr/sr/[lr]) of uint8
-    images — the packed-store twin of LRHRDataset."""
+    images — the packed-store twin of LRHRDataset, with the SAME train-split
+    semantics: grouped random hflip across the triplet
+    (reference datasets/util.py:76-83 via the lmdb datatype) and the
+    ``data_len`` cap."""
 
     def __init__(self, root: str | os.PathLike, l_res: int, r_res: int,
-                 need_LR: bool = False, threads: int = 4):
+                 need_LR: bool = False, threads: int = 4,
+                 split: str = "val", data_len: int = -1,
+                 use_flip: bool = True, seed: int = 0):
+        from .lrhr import PerItemRng
+
         root = Path(root)
         self.hr = SrpkReader(root / f"hr_{r_res}.srpk", threads)
         self.sr = SrpkReader(root / f"sr_{l_res}_{r_res}.srpk", threads)
         self.lr = (SrpkReader(root / f"lr_{l_res}.srpk", threads)
                    if need_LR else None)
         assert len(self.hr) == len(self.sr)
+        self.split = split
+        self.use_flip = use_flip
+        self._rng = PerItemRng(seed)
+        self.data_len = (len(self.hr) if data_len <= 0
+                         else min(data_len, len(self.hr)))
 
     def __len__(self) -> int:
-        return len(self.hr)
+        return self.data_len
 
     def __getitem__(self, idx: int) -> dict:
+        from .lrhr import transform_augment
+
         to_m11 = lambda a: a.astype(np.float32) / 127.5 - 1.0
         item = {"HR": to_m11(self.hr.read(idx)),
                 "SR": to_m11(self.sr.read(idx)), "Index": idx,
                 "path_sr": f"{self.sr.path}#{idx}"}
         if self.lr is not None:
             item["LR"] = to_m11(self.lr.read(idx))
+        if self.split == "train" and self.use_flip:
+            keys = [k for k in ("LR", "SR", "HR") if k in item]
+            flipped = transform_augment([item[k] for k in keys], "train",
+                                        rng=self._rng.for_item(idx))
+            item.update(zip(keys, flipped))
         return item
 
     def read_batch(self, indices) -> dict:
@@ -251,21 +292,26 @@ def migrate_lmdb_records(get, length: int, l_res: int, r_res: int,
     # exactly the same index set: an index is valid only when hr AND sr
     # exist (the reference resamples such indices, LRHR_dataset.py:67-70)
     # and, when the LMDB carries an LR stream at all, lr too.
-    raw_by_stream = {name: [fetch(i) for i in range(length)]
-                     for name, fetch in streams.items()}
-    has_lr = any(raw is not None
-                 for raw in raw_by_stream[f"lr_{l_res}"])
-    if not has_lr:
-        del raw_by_stream[f"lr_{l_res}"]
+    #
+    # Two-pass streaming migration (O(1 record) resident — a review found
+    # the previous version materialised every raw byte string AND every
+    # decoded frame for all streams at once): pass 1 records presence
+    # only; pass 2 streams each store through pack_stream.
+    has_lr = any(streams[f"lr_{l_res}"](i) is not None
+                 for i in range(length))
+    active = [n for n in streams
+              if has_lr or not n.startswith("lr_")]
     valid = [i for i in range(length)
-             if all(raws[i] is not None
-                    for raws in raw_by_stream.values())]
+             if all(streams[n](i) is not None for n in active)]
     counts = {}
-    for name, raws in raw_by_stream.items():
-        imgs = [decode(raws[i]) for i in valid]
-        if imgs:
-            pack(out_root / f"{name}.srpk", np.stack(imgs))
-            counts[name] = len(imgs)
+    for name in active:
+        if not valid:
+            break
+        first = decode(streams[name](valid[0]))
+        pack_stream(out_root / f"{name}.srpk",
+                    (decode(streams[name](i)) for i in valid),
+                    len(valid), first.shape, np.uint8)
+        counts[name] = len(valid)
     return counts
 
 

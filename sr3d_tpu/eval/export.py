@@ -48,6 +48,27 @@ def write_ply(path: str | os.PathLike, vertices: np.ndarray,
         f.write(face_rec.tobytes())
 
 
+def read_ply(path: str | os.PathLike) -> tuple[np.ndarray, np.ndarray]:
+    """Read the binary-little-endian PLY :func:`write_ply` produces
+    (xyz float32 vertices + uchar-count int32 triangle faces)."""
+    with open(path, "rb") as f:
+        data = f.read()
+    end = data.index(b"end_header\n") + len(b"end_header\n")
+    n_vert = n_face = 0
+    for line in data[:end].decode("ascii").splitlines():
+        parts = line.split()
+        if parts[:2] == ["element", "vertex"]:
+            n_vert = int(parts[2])
+        elif parts[:2] == ["element", "face"]:
+            n_face = int(parts[2])
+    verts = np.frombuffer(data, "<f4", count=n_vert * 3, offset=end
+                          ).reshape(n_vert, 3)
+    face_rec = np.frombuffer(
+        data, dtype=[("n", np.uint8), ("idx", "<i4", (3,))],
+        count=n_face, offset=end + n_vert * 12)
+    return verts.copy(), face_rec["idx"].astype(np.int32)
+
+
 def write_obj(path: str | os.PathLike, vertices: np.ndarray,
               faces: np.ndarray) -> None:
     vertices = np.asarray(vertices, dtype=np.float64)

@@ -27,10 +27,14 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def look_at_z(vertices: jax.Array, eye_z: float = -3.0) -> jax.Array:
-    """Place camera on -z axis looking at origin (the reference renders the
-    canonical FLAME head with a fixed camera, renderer.py:33-38)."""
-    return vertices - jnp.asarray([0.0, 0.0, eye_z])
+def look_at_z(vertices: jax.Array, eye_z: float = 3.0) -> jax.Array:
+    """Camera on the +z axis looking toward -z — the side the reference's
+    pytorch3d camera views the canonical FLAME head from
+    (``look_at_view_transform(2.7, 10, 10)``, renderer.py:33-38); the
+    canonical head faces +z, so this shows the face, not the occiput.
+    Returns (x, y, depth) with depth = eye_z - z_world (> 0 in front)."""
+    x, y, zw = vertices[:, 0], vertices[:, 1], vertices[:, 2]
+    return jnp.stack([x, y, eye_z - zw], -1)
 
 
 def vertex_normals(vertices: jax.Array, faces: jax.Array) -> jax.Array:
@@ -54,7 +58,7 @@ def render_mesh(
     tile: int = 8,
     tile_grid: int = 4,
     fov_deg: float = 12.0,
-    eye_z: float = -3.0,
+    eye_z: float = 3.0,
     light_dir=(0.0, 0.0, 1.0),
     base_color=(0.8, 0.8, 0.8),
 ) -> jax.Array:
@@ -71,7 +75,7 @@ def render_mesh(
     F = faces.shape[0]
     P = image_size
 
-    cam_v = look_at_z(vertices, eye_z)                 # camera space, +z fwd
+    cam_v = look_at_z(vertices, eye_z)                 # (x, y, depth)
     focal = 1.0 / jnp.tan(jnp.deg2rad(fov_deg) / 2.0)
     z = cam_v[:, 2].clip(1e-6)
     sx = (cam_v[:, 0] * focal / z * 0.5 + 0.5) * (P - 1)

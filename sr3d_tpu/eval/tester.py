@@ -19,7 +19,7 @@ from pathlib import Path
 
 import numpy as np
 
-from .export import export_prediction
+from .export import landmarks_7, read_ply, write_ply
 
 logger = logging.getLogger("sr3d_tpu")
 
@@ -41,28 +41,19 @@ def center_crop_blob(img_u8: np.ndarray, size: int = 112) -> np.ndarray:
 
 
 def detect_and_blob(img_u8: np.ndarray, size: int = 112) -> np.ndarray:
-    """RetinaFace detect + norm_crop when insightface exists (reference
-    tester.py:84-146), else center-crop fallback."""
-    try:  # pragma: no cover — insightface not in this image
-        from insightface.app import FaceAnalysis
-        from insightface.utils import face_align
+    """RGB image → eval arcface blob [size,size,3] BGR ±1, produced EXACTLY
+    like the training blobs: the shared ``align_face`` (RetinaFace
+    norm_crop at 224, center-crop fallback) + ``arcface_blob_of``
+    (224→size resample) from data/creation.py — a review found an earlier
+    duplicate here norm-cropped directly at 112, a systematic train/eval
+    input skew (reference tester.py:84-146 uses the same
+    ``get_arcface_input`` as its creation pipeline)."""
+    from ..data.creation import align_face, arcface_blob_of
 
-        if not hasattr(detect_and_blob, "_app"):
-            app = FaceAnalysis(name="antelopev2")
-            app.prepare(ctx_id=-1, det_size=(224, 224))
-            detect_and_blob._app = app
-        faces = detect_and_blob._app.get(img_u8[..., ::-1])
-        if faces:
-            # center-most face (reference datasets/creation/util.py:92-106)
-            h, w = img_u8.shape[:2]
-            c = np.array([w / 2, h / 2])
-            best = min(faces, key=lambda f: np.linalg.norm(
-                np.asarray(f.bbox).reshape(2, 2).mean(0) - c))
-            aligned = face_align.norm_crop(img_u8[..., ::-1], best.kps, size)
-            return (aligned.astype(np.float32) - 127.5) / 127.5
-    except Exception:
-        pass
-    return center_crop_blob(img_u8, size)
+    crop = align_face(img_u8, size=224)
+    if crop is None:  # pragma: no cover — detector found nothing
+        return center_crop_blob(img_u8, size)
+    return arcface_blob_of(crop, size).transpose(1, 2, 0)
 
 
 def rigid_align_7(src_lmk7: np.ndarray, dst_lmk7: np.ndarray):
@@ -188,11 +179,15 @@ class Tester:
     def __init__(self, modules, predict_fn, cache_path: str | None = None):
         self.modules = modules
         self.predict = predict_fn
+        # np.savez appends .npz to suffix-less names; normalise so the
+        # cache-hit check tests the file that actually gets written
+        if cache_path and not str(cache_path).endswith(".npz"):
+            cache_path = str(cache_path) + ".npz"
         self.cache_path = cache_path
 
     def _load_blobs(self, image_root: str | os.PathLike) -> dict:
-        """{subject/image-stem: blob}, cached like the reference's
-        ``test_now_cache.pt`` (tester.py:179-196)."""
+        """{relative/path/stem: blob} ('/'-separated), cached like the
+        reference's ``test_now_cache.pt`` (tester.py:179-196)."""
         if self.cache_path and Path(self.cache_path).exists():
             data = np.load(self.cache_path, allow_pickle=True)
             return {k: data[k] for k in data.files}
@@ -204,7 +199,7 @@ class Tester:
             if p.suffix.lower() in IMG_EXTENSIONS:
                 img = np.asarray(Image.open(p).convert("RGB"))
                 key = str(p.relative_to(root).with_suffix("")).replace(
-                    os.sep, "__")
+                    os.sep, "/")
                 blobs[key] = detect_and_blob(img)
         if self.cache_path:
             Path(self.cache_path).parent.mkdir(parents=True, exist_ok=True)
@@ -213,21 +208,31 @@ class Tester:
 
     def run(self, state, image_root: str | os.PathLike,
             out_dir: str | os.PathLike, batch: int = 8) -> int:
-        """Predict + export the NoW submission tree; returns #images."""
+        """Predict + export the OFFICIAL NoW submission tree
+        (reference tester.py:288-334):
+        ``{out}/predicted_meshes/{subject}/{challenge}/{image}.ply`` (mm)
+        + ``{image}.npy`` 7-landmark (mm) — the layout the official NoW
+        evaluation consumes.  ``image_root`` is the NoW pictures tree
+        (``{subject}/{challenge}/{image}.jpg``); shallower trees keep
+        their relative structure.  Returns #images."""
         blobs = self._load_blobs(image_root)
         keys = sorted(blobs.keys())
-        out = Path(out_dir)
+        out = Path(out_dir) / "predicted_meshes"
+        faces = np.asarray(self.modules.flame.faces)
         for i in range(0, len(keys), batch):
             chunk = keys[i:i + batch]
             arr = np.stack([np.asarray(blobs[k], np.float32)
                             for k in chunk])
             verts, codes, lmk68 = self.predict(self.modules, state, arr)
-            verts, codes, lmk68 = (np.asarray(verts), np.asarray(codes),
-                                   np.asarray(lmk68))
+            verts, lmk68 = np.asarray(verts), np.asarray(lmk68)
             for j, key in enumerate(chunk):
-                export_prediction(out / key, verts[j],
-                                  np.asarray(self.modules.flame.faces),
-                                  codes[j], lmk68[j])
+                dst = out.joinpath(*key.split("/")[:-1])
+                dst.mkdir(parents=True, exist_ok=True)
+                stem = key.split("/")[-1]
+                write_ply(dst / f"{stem}.ply", verts[j] * 1000.0, faces)
+                np.save(dst / f"{stem}.npy",
+                        landmarks_7(np.asarray(lmk68[j]).reshape(68, 3))
+                        * 1000.0)
         logger.info("tester: exported %d predictions -> %s", len(keys), out)
         return len(keys)
 
@@ -262,7 +267,6 @@ class Tester:
                     actor = p.stem[:9].upper()
                     dst = out / quality / actor[:5]
                     dst.mkdir(parents=True, exist_ok=True)
-                    from .export import landmarks_7, write_ply
                     write_ply(dst / f"{actor}.ply", verts[j] * 1000.0,
                               np.asarray(self.modules.flame.faces))
                     np.save(dst / f"{actor}.npy",
@@ -277,43 +281,61 @@ class Tester:
     def evaluate_now(pred_dir: str | os.PathLike,
                      gt_dir: str | os.PathLike,
                      point_to_surface: bool = True) -> dict:
-        """Compare exported predictions against GT scans laid out as
-        ``{gt_dir}/{key}/scan.npy`` [P,3] mm + ``lmk7.npy`` [7,3] mm.
-        Uses the official masked point-to-surface distance by default."""
-        from .export import read_obj
+        """Score a :meth:`run` submission tree against per-SUBJECT GT scans
+        — the official NoW protocol: predictions at
+        ``predicted_meshes/{subject}/{challenge}/{image}.ply`` (+ ``.npy``
+        7-landmarks), GT at ``{gt_dir}/{subject}/scan.npy`` [P,3] mm +
+        ``lmk7.npy`` [7,3] mm (one scan per subject, every image of that
+        subject is compared to it).  Statistics are computed over ALL
+        distances pooled (``np.median(np.hstack(errors))`` — reference
+        lib/MICA/micalib/validator.py:187-190), not per-scan means; uses
+        the official masked point-to-surface distance by default."""
+        pred_root = Path(pred_dir)
+        if (pred_root / "predicted_meshes").is_dir():
+            pred_root = pred_root / "predicted_meshes"
 
-        errs = []
+        per_image = []
         all_d = []
-        for pred in sorted(Path(pred_dir).iterdir()):
-            gt = Path(gt_dir) / pred.name
+        n_images = 0
+        for subject in sorted(p for p in pred_root.iterdir() if p.is_dir()):
+            gt = Path(gt_dir) / subject.name
             if not (gt / "scan.npy").exists():
                 continue
-            verts, faces = read_obj(pred / "mesh.obj")
-            lmk7 = np.load(pred / "kpt7.npy")
             scan = np.load(gt / "scan.npy")
             gt7 = np.load(gt / "lmk7.npy")
-            s, R, t = rigid_align_7(lmk7, gt7)
-            aligned = (s * (R @ verts.T)).T + t
-            if point_to_surface and len(faces):
-                d = point_to_surface_distance(scan, aligned, faces)
-            else:
-                from scipy.spatial import cKDTree
+            for ply in sorted(subject.rglob("*.ply")):
+                verts, faces = read_ply(ply)
+                lmk7 = np.load(ply.with_suffix(".npy"))
+                s, R, t = rigid_align_7(lmk7, gt7)
+                aligned = (s * (R @ verts.T)).T + t
+                if point_to_surface and len(faces):
+                    d = point_to_surface_distance(scan, aligned, faces)
+                else:
+                    from scipy.spatial import cKDTree
 
-                d, _ = cKDTree(aligned).query(scan, k=1)
-            all_d.append(d)
-            errs.append({"median": float(np.median(d)),
-                         "mean": float(np.mean(d)),
-                         "std": float(np.std(d))})
-        agg = {k: float(np.mean([e[k] for e in errs])) if errs else 0.0
-               for k in ("median", "mean", "std")}
-        agg["n"] = len(errs)
+                    d, _ = cKDTree(aligned).query(scan, k=1)
+                all_d.append(d)
+                n_images += 1
+                per_image.append({
+                    "image": str(ply.relative_to(pred_root).with_suffix("")),
+                    "median": float(np.median(d)),
+                    "mean": float(np.mean(d)), "std": float(np.std(d))})
+        if all_d:
+            pooled = np.hstack(all_d)
+            agg = {"median": float(np.median(pooled)),
+                   "mean": float(np.mean(pooled)),
+                   "std": float(np.std(pooled))}
+        else:
+            agg = {"median": 0.0, "mean": 0.0, "std": 0.0}
+        agg["n"] = n_images
+        agg["per_image"] = per_image
         if all_d:
             # NoW-style cumulative error curve: fraction of scan points under
             # each mm threshold (the benchmark's standard plot)
-            d = np.concatenate(all_d)
             thresholds = np.linspace(0, 7, 15)
             agg["cumulative_curve"] = {
                 "threshold_mm": thresholds.tolist(),
-                "fraction": [float((d <= t).mean()) for t in thresholds],
+                "fraction": [float((pooled <= t).mean())
+                             for t in thresholds],
             }
         return agg

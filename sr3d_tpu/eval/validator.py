@@ -29,8 +29,10 @@ class Validator:
     def run(self, state, max_items: int = 16) -> dict:
         from ..models import masking as masking_ops
         from ..models.flame import flame_forward
+        from ..train.joint import encode_mica
 
         per_dataset = {}
+        all_losses = []
         embeddings = []
         render_verts = []
         for name, ds in self.datasets.items():
@@ -46,13 +48,21 @@ class Validator:
                     verts, jax.lax.stop_gradient(gt),
                     self.modules.vertex_weights)
                 losses.append(float(l))
-                embeddings.append(np.asarray(code))
+                # identity diagnostic collects the 512-d ArcFace embedding
+                # (reference validator.py:76-82 opdict['faceid'] =
+                # codedict['arcface']), NOT the FLAME shape code
+                emb, _ = encode_mica(self.modules, state.params,
+                                     state.arcface_stats, blobs, train=False)
+                embeddings.append(np.asarray(emb))
                 if len(render_verts) < self.render_n:
                     render_verts.append(np.asarray(verts[0]))
+            all_losses.extend(losses)
             per_dataset[name] = float(np.mean(losses)) if losses else 0.0
 
-        total = float(np.mean(list(per_dataset.values()))) \
-            if per_dataset else 0.0
+        # overall average over ALL validation items (reference
+        # validator.py:119-129) — a mean of per-dataset means would
+        # reweight unequal-sized datasets and shift BestModel selection
+        total = float(np.mean(all_losses)) if all_losses else 0.0
         # BestModel returns the list of improved/saved tags (empty on the
         # baseline-setting first call — reference best_model.py:63-71)
         improved = bool(self.best_model(total)) if self.best_model else False

@@ -149,13 +149,18 @@ class AlternatingTrainer:
 
     def validate_sr(self, val_batches) -> float:
         """Periodic SR-only PSNR validation (reference
-        lib/trainer.py:291-355)."""
+        lib/trainer.py:291-355).  Accepts joint-loader batches too: actor-K
+        [B,K,h,h,3] arrays flatten to [B*K,...] like ``fit`` does."""
         psnrs = []
         for batch in val_batches:
-            sr_img = self._sr_sample(self.sr_state, batch["SR"],
-                                     self._next_rng())
+            sr = np.asarray(batch["SR"], np.float32)
+            hr = np.asarray(batch["HR"], np.float32)
+            if sr.ndim == 5:
+                sr = sr.reshape((-1,) + sr.shape[2:])
+                hr = hr.reshape((-1,) + hr.shape[2:])
+            sr_img = self._sr_sample(self.sr_state, sr, self._next_rng())
             sr_u8 = np.asarray(tensor_to_uint8(sr_img))
-            hr_u8 = np.asarray(tensor_to_uint8(batch["HR"]))
+            hr_u8 = np.asarray(tensor_to_uint8(hr))
             for i in range(sr_u8.shape[0]):
                 psnrs.append(calculate_psnr(sr_u8[i], hr_u8[i]))
         avg = float(np.mean(psnrs)) if psnrs else 0.0

@@ -24,8 +24,10 @@ class MicaTrainState(NamedTuple):
 
 
 def make_mica_optimizer(cfg) -> optax.GradientTransformation:
-    """AdamW param groups: generator lr + arcface lr, frozen prefix zeroed
-    (reference lib/MICA/micalib/base_model.py / trainer optimizer setup)."""
+    """AdamW param groups: generator lr + arcface lr, frozen prefix zeroed,
+    with the StepLR decay the reference schedules
+    (lib/MICA/micalib/trainer.py StepLR(gamma=lr_gamma) stepped every
+    lr_update_step — same wrapping as the joint make_optimizer)."""
     from ..models.arcface import frozen_prefix_mask
 
     def labels(params):
@@ -35,11 +37,19 @@ def make_mica_optimizer(cfg) -> optax.GradientTransformation:
                 "mapping": jax.tree.map(lambda _: "mapping",
                                         params["mapping"])}
 
+    def steplr(base_lr):
+        return optax.exponential_decay(
+            init_value=base_lr,
+            transition_steps=int(cfg.train.lr_update_step),
+            decay_rate=float(cfg.mica.train.lr_gamma),
+            staircase=True)
+
     wd = float(cfg.mica.train.weight_decay)
     return optax.multi_transform(
-        {"arcface": optax.adamw(float(cfg.mica.train.arcface_lr),
+        {"arcface": optax.adamw(steplr(float(cfg.mica.train.arcface_lr)),
                                 weight_decay=wd),
-         "mapping": optax.adamw(float(cfg.mica.train.lr), weight_decay=wd),
+         "mapping": optax.adamw(steplr(float(cfg.mica.train.lr)),
+                                weight_decay=wd),
          "frozen": optax.set_to_zero()},
         param_labels=labels)
 
@@ -176,11 +186,23 @@ class MicaTrainer:
         import numpy as np
 
         cfg = self.cfg
-        max_steps = max_steps or int(cfg.mica.train.max_steps)
-        val_steps = val_steps or int(cfg.mica.train.val_steps)
-        checkpoint_steps = checkpoint_steps or int(
-            cfg.mica.train.checkpoint_steps)
-        log_steps = log_steps or int(cfg.mica.train.log_steps)
+        # `is None` (not `or`): an explicit 0 disables the cadence rather
+        # than silently re-enabling the config default
+        if max_steps is None:
+            max_steps = int(cfg.mica.train.max_steps)
+        if val_steps is None:
+            val_steps = int(cfg.mica.train.val_steps)
+        if checkpoint_steps is None:
+            checkpoint_steps = int(cfg.mica.train.checkpoint_steps)
+        if log_steps is None:
+            log_steps = int(cfg.mica.train.log_steps)
+
+        # auto-resume from model_mica.npz (reference micalib
+        # Trainer.__init__ → load_checkpoint, trainer.py:60-77) — without
+        # it a restarted run trains from scratch and clobbers the saved
+        # checkpoint at the first cadence
+        if self.global_step == 0:
+            self.load_checkpoint()
 
         rng = jax.random.PRNGKey(int(cfg.seed) + 13)
         it = iter(loader)
@@ -196,7 +218,7 @@ class MicaTrainer:
             self.state, metrics = self._step(self.modules, self.state,
                                              batch, k)
             self.global_step += 1
-            if self.global_step % log_steps == 0:
+            if log_steps and self.global_step % log_steps == 0:
                 self.logger.info("mica step %d | loss %.4f",
                                  self.global_step,
                                  float(metrics["loss"]))

@@ -146,11 +146,23 @@ def test_mica_predict_and_validator(mica_setup, tmp_path):
             return {"arcface": np.asarray(b["arcface"]),
                     "flame_shape": np.asarray(b["flame_shape"])}
 
-    v = Validator(modules, predict, {"SYNTH": FakeDs()},
+    class FakeDs1(FakeDs):
+        def __len__(self):
+            return 1
+
+    v = Validator(modules, predict, {"SYNTH": FakeDs(), "TINY": FakeDs1()},
                   best_model=BestModel(3), render_n=2)
     res = v.run(state)
     assert np.isfinite(res["loss"])
     assert "SYNTH" in res["per_dataset"]
+    # total is the average over ALL items (reference validator.py:119-129),
+    # not the mean of per-dataset means
+    expect = (2 * res["per_dataset"]["SYNTH"]
+              + 1 * res["per_dataset"]["TINY"]) / 3
+    assert res["loss"] == pytest.approx(expect, rel=1e-6)
+    # embeddings are the ArcFace identity embeddings (z_dim), not FLAME codes
+    assert res["embeddings"].shape[-1] == modules.mapping.z_dim
+    assert res["embeddings"].shape[-1] != int(cfg.mica.model.n_shape)
     # reference BestModel semantics: the first call only sets baselines
     assert res["improved"] is False
     assert "render_grid" in res
@@ -165,34 +177,42 @@ def test_mica_predict_and_validator(mica_setup, tmp_path):
 def test_tester_export_and_now_metric(mica_setup, tmp_path):
     from PIL import Image
 
-    from sr3d_tpu.eval.export import read_obj
+    from sr3d_tpu.eval.export import read_ply
     from sr3d_tpu.eval.tester import Tester, now_distance, rigid_align_7
     from sr3d_tpu.train.mica_only import make_mica_predict
 
     cfg, modules, opt, state = mica_setup
     predict = jax.jit(make_mica_predict())
 
-    # benchmark image tree
+    # NoW-style pictures tree: {subject}/{challenge}/{image}.jpg
     img_root = tmp_path / "now_imgs"
-    (img_root / "subjectA").mkdir(parents=True)
+    (img_root / "subjectA" / "neutral").mkdir(parents=True)
     rng = np.random.RandomState(0)
     for i in range(2):
         Image.fromarray(rng.randint(0, 255, (140, 120, 3), dtype=np.uint8)
-                        ).save(img_root / "subjectA" / f"{i}.jpg")
+                        ).save(img_root / "subjectA" / "neutral"
+                               / f"{i}.jpg")
 
-    t = Tester(modules, predict, cache_path=str(tmp_path / "cache.npz"))
+    # suffix-less cache path must still hit on the second run (np.savez
+    # appends .npz — a review found the exists() check missed it)
+    t = Tester(modules, predict, cache_path=str(tmp_path / "cache"))
     n = t.run(state, img_root, tmp_path / "preds", batch=2)
     assert n == 2
-    pred_dirs = sorted((tmp_path / "preds").iterdir())
-    assert len(pred_dirs) == 2
-    verts, faces = read_obj(pred_dirs[0] / "mesh.obj")
+    assert (tmp_path / "cache.npz").exists()
+    # OFFICIAL NoW submission layout (reference tester.py:288-334)
+    sub = tmp_path / "preds" / "predicted_meshes" / "subjectA" / "neutral"
+    assert sorted(p.name for p in sub.glob("*.ply")) == ["0.ply", "1.ply"]
+    verts, faces = read_ply(sub / "0.ply")
     assert verts.shape[1] == 3 and faces.shape[1] == 3
-    # second run uses the cache
-    assert t.run(state, img_root, tmp_path / "preds2", batch=2) == 2
+    # second run uses the cache (mutate it to prove the hit)
+    blobs = dict(np.load(tmp_path / "cache.npz", allow_pickle=True))
+    np.savez(tmp_path / "cache.npz",
+             **{k: v for k, v in list(blobs.items())[:1]})
+    assert t.run(state, img_root, tmp_path / "preds2", batch=2) == 1
 
     # NoW metric: identical mesh under a known similarity transform → ~0 err
     pv = np.asarray(verts)
-    lmk7 = np.load(pred_dirs[0] / "kpt7.npy")
+    lmk7 = np.load(sub / "0.npy")
     s, ang = 1.3, 0.4
     R = np.array([[np.cos(ang), -np.sin(ang), 0],
                   [np.sin(ang), np.cos(ang), 0], [0, 0, 1.0]])
@@ -206,30 +226,45 @@ def test_tester_export_and_now_metric(mica_setup, tmp_path):
 
 
 def test_evaluate_now_with_gt(mica_setup, tmp_path):
-    """evaluate_now aggregates distances + cumulative curve over a GT tree."""
+    """evaluate_now scores the official submission layout against
+    per-subject GT, pooling ALL distances for the statistics
+    (np.median(np.hstack(errors)) — reference validator.py:187-190)."""
+    from sr3d_tpu.eval.export import landmarks_7, write_ply
     from sr3d_tpu.eval.tester import Tester
-    from sr3d_tpu.eval.export import export_prediction
 
-    cfg, modules, opt, state = mica_setup
     rng = np.random.RandomState(0)
-    verts = rng.randn(50, 3).astype(np.float32) * 0.05
+    verts = rng.randn(50, 3).astype(np.float32) * 50.0       # mm
     faces = rng.randint(0, 50, (60, 3)).astype(np.int32)
-    lmk68 = rng.randn(68, 3).astype(np.float32) * 0.05
-    export_prediction(tmp_path / "preds" / "s1", verts, faces,
-                      rng.randn(16).astype(np.float32), lmk68)
+    lmk68 = rng.randn(68, 3).astype(np.float32) * 50.0
+    lmk7 = landmarks_7(lmk68)
+    sub = tmp_path / "preds" / "predicted_meshes" / "s1" / "neutral"
+    sub.mkdir(parents=True)
+    # image 0: exact mesh; image 1: offset along +z AFTER alignment cannot
+    # absorb it (landmarks stay put, vertices shift)
+    write_ply(sub / "0.ply", verts, faces)
+    np.save(sub / "0.npy", lmk7)
+    write_ply(sub / "1.ply", verts + [0.0, 0.0, 4.0], faces)
+    np.save(sub / "1.npy", lmk7)
 
-    from sr3d_tpu.eval.export import landmarks_7, read_obj
-    pv, _ = read_obj(tmp_path / "preds" / "s1" / "mesh.obj")
     gt = tmp_path / "gt" / "s1"
     gt.mkdir(parents=True)
-    np.save(gt / "scan.npy", pv + 0.5)           # uniform 0.5 mm offset
-    np.save(gt / "lmk7.npy",
-            np.load(tmp_path / "preds" / "s1" / "kpt7.npy") + 0.5)
+    np.save(gt / "scan.npy", verts + 0.5)        # uniform 0.5 mm offset
+    np.save(gt / "lmk7.npy", lmk7 + 0.5)
 
     res = Tester.evaluate_now(tmp_path / "preds", tmp_path / "gt")
-    assert res["n"] == 1
-    # rigid alignment absorbs the pure translation → near-zero error
-    assert res["mean"] < 0.2
+    assert res["n"] == 2
+    assert len(res["per_image"]) == 2
+    # image 0: rigid alignment absorbs the pure translation → ~0 error
+    assert res["per_image"][0]["mean"] < 0.2
+    # pooled stats over ALL distances, not mean of per-scan stats: image 1
+    # sits ~4 mm off, so the pooled median is the midpoint of the two
+    # distance populations — here ≈ half of per-image medians' sum
+    m0, m1 = (res["per_image"][0]["median"], res["per_image"][1]["median"])
+    pooled = res["median"]
+    assert min(m0, m1) <= pooled <= max(m0, m1)
+    assert res["mean"] == pytest.approx(
+        (res["per_image"][0]["mean"] + res["per_image"][1]["mean"]) / 2,
+        rel=1e-6)
     curve = res["cumulative_curve"]
     assert curve["fraction"][-1] == 1.0
     assert curve["fraction"][0] <= curve["fraction"][-1]
@@ -337,3 +372,30 @@ def test_mica_trainer_fit_val_resume(mica_setup, tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(tr2.state.params),
                     jax.tree_util.tree_leaves(tr.state.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # fit() itself auto-resumes (reference Trainer.__init__ →
+    # load_checkpoint): a restarted run must NOT train from scratch and
+    # clobber model_mica.npz
+    tr3 = MicaTrainer(cfg, modules, output_dir=tmp_path / "mica")
+    tr3.fit(loader, max_steps=4, val_steps=0, checkpoint_steps=0,
+            log_steps=0)                       # 0 disables each cadence
+    assert tr3.global_step == 4                # resumed, took no steps
+    for a, b in zip(jax.tree_util.tree_leaves(tr3.state.params),
+                    jax.tree_util.tree_leaves(tr.state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_legacy_validate_sr_accepts_joint_batches(mica_setup, tmp_path):
+    """validate_sr flattens [B,K,...] joint-loader batches like fit does —
+    a review found 5-D batches reached the sampler unflattened."""
+    from sr3d_tpu.train.legacy import AlternatingTrainer
+
+    cfg, modules, opt, state = mica_setup
+    cfg.output_dir = str(tmp_path / "out")
+    tr = AlternatingTrainer(cfg, modules, dtype=jnp.float32)
+    rng = np.random.RandomState(0)
+    joint_batch = {
+        "HR": rng.uniform(-1, 1, (2, 2, 16, 16, 3)).astype(np.float32),
+        "SR": rng.uniform(-1, 1, (2, 2, 16, 16, 3)).astype(np.float32)}
+    psnr = tr.validate_sr([joint_batch])
+    assert np.isfinite(psnr) and psnr > 0

@@ -82,6 +82,56 @@ def test_joint_dataset_eval_mode_deterministic(joint_root):
     np.testing.assert_array_equal(a["image"], b["image"])
 
 
+def test_joint_eval_k_is_dataset_wide(tmp_path):
+    """Eval K is fixed across actors (reference min_max_K,
+    datasets/base.py:183-194) — ragged per-actor K would break np.stack
+    collation and recompile the jit per distinct K."""
+    root = tmp_path / "ragged"
+    generate_synthetic_joint_root(root, name="RAG", n_actors=2,
+                                  imgs_per_actor=6, img_res=32,
+                                  lr_res=8, hr_res=16, n_shape=16, n_exp=8)
+    # make actor counts ragged: drop images from one actor's index entry
+    ip = root / "image_paths" / "RAG.npy"
+    d = np.load(ip, allow_pickle=True).item()
+    a0 = sorted(d)[0]
+    d[a0] = (d[a0][0][:3], d[a0][1])          # 3 vs 6 images
+    np.save(ip, d)
+
+    ds = JointFaceDataset(root, "RAG", K=2, lr_res=8, hr_res=16,
+                          n_shape=16, n_exp=8, is_train=False,
+                          eval_max_k=8)
+    shapes = {ds[i]["image"].shape for i in range(len(ds))}
+    assert shapes == {(3, 32, 32, 3)}          # min over actors, same K
+    batch = next(iter(BatchLoader(ds, batch_size=2, num_workers=0)))
+    assert batch["image"].shape == (2, 3, 32, 32, 3)
+
+
+def test_joint_exp_params_small_nshape(joint_root):
+    """Synthetic roots pack betas = concat(n_shape, n_exp); the expression
+    slice must come from offset n_shape, not the FLAME-2020 hard-coded 300
+    (which silently zeroed every exp for small-n_shape roots)."""
+    ds = JointFaceDataset(joint_root, "SYNTH", K=2, lr_res=8, hr_res=16,
+                          n_shape=16, n_exp=8)
+    item = ds[0]
+    flame = np.load(
+        joint_root / ds.face_dict[ds.actors[0]][1])
+    betas = np.asarray(flame["betas"], np.float32).reshape(-1)
+    assert betas.shape[0] == 24
+    np.testing.assert_array_equal(item["flame_exp"][0], betas[16:24])
+    assert np.abs(item["flame_exp"]).max() > 0
+
+
+def test_pair_filter_fallback_keys_full_stem():
+    """Index-free pairing keys on the full stem minus the view suffix —
+    prefix-split keys aliased unrelated captures sharing a suffix."""
+    from sr3d_tpu.data.joint import _filter_pairs
+
+    imgs = ["a/foo_X_1C.png", "a/bar_X_2C.png",    # UNRELATED: not a pair
+            "a/baz_Y_1C.png", "a/baz_Y_2C.png"]    # true pair
+    out = _filter_pairs(imgs)
+    assert out == ["a/baz_Y_1C.png", "a/baz_Y_2C.png"]
+
+
 def test_batch_loader_shapes_and_drop_last(joint_root):
     ds = JointFaceDataset(joint_root, "SYNTH", K=2, lr_res=8, hr_res=16,
                           n_shape=16, n_exp=8)

@@ -67,6 +67,28 @@ def test_single_tile_regression_would_hole():
     assert interior_hole_fraction(img) > 0.05
 
 
+def test_camera_views_front_not_back():
+    """A tilted near (+z) quad must occlude a far (-z) quad at the image
+    center — a review found the camera sat on -z, so renders showed the
+    BACK of the FLAME head (canonical heads face +z)."""
+    c, s = np.cos(np.deg2rad(60)), np.sin(np.deg2rad(60))
+    front = np.array([[x * c, y, -x * s + 0.1]
+                      for x, y in [(-0.1, -0.1), (0.1, -0.1),
+                                   (0.1, 0.1), (-0.1, 0.1)]], np.float32)
+    back = np.array([[x, y, -0.1]
+                     for x, y in [(-0.2, -0.2), (0.2, -0.2),
+                                  (0.2, 0.2), (-0.2, 0.2)]], np.float32)
+    verts = np.concatenate([front, back])
+    faces = np.array([[0, 1, 2], [0, 2, 3],
+                      [4, 5, 6], [4, 6, 7]], np.int32)
+    img = np.asarray(render_mesh(verts, faces, image_size=128))
+    center = float(img[64, 64, 0])
+    # tilted front quad: shade = 0.25+0.75·cos60 = 0.625 → 0.5 grey;
+    # the back quad (shade 1.0 → 0.8) would win under the -z camera bug
+    assert center < 0.6, f"far quad visible through near quad ({center})"
+    assert center > 0.3, "nothing rendered at center"
+
+
 def test_golden_flame_render(tmp_path):
     """Golden render of the synthetic FLAME mean head (256², fixed camera).
     Regenerate tests/golden/flame_render_256.npy ONLY for deliberate
