@@ -87,7 +87,14 @@ def run_sr_only(cfg, max_steps=None):
     out = Path(cfg.output_dir) / (cfg.name or "default")
     ckpt_dir = out / str(cfg.path.checkpoint_sr)
     begin_step = epoch = 0
-    if ckpt_dir.is_dir() and m.latest_prefix(ckpt_dir):
+    if cfg.checkpoint:
+        # an explicitly requested checkpoint must not silently degrade to
+        # auto-resume (same contract as the joint -ckt path)
+        state, begin_step, epoch = m.load_network(state, str(cfg.checkpoint),
+                                                  phase=str(cfg.phase))
+        logger.info("[SR] loaded -ckt %s @ step %d", cfg.checkpoint,
+                    begin_step)
+    elif ckpt_dir.is_dir() and m.latest_prefix(ckpt_dir):
         state, begin_step, epoch = m.load_network(state, ckpt_dir,
                                                   phase=str(cfg.phase))
         logger.info("[SR] resumed @ step %d", begin_step)
@@ -106,7 +113,9 @@ def run_sr_only(cfg, max_steps=None):
     else:
         ds = data_lib.LRHRDataset(
             dataroot=tr.dataroot, l_resolution=int(tr.l_resolution),
-            r_resolution=int(tr.r_resolution), split="train")
+            r_resolution=int(tr.r_resolution), split="train",
+            data_len=int(tr.get("data_len", -1)),
+            use_flip=bool(tr.get("use_flip", True)), seed=int(cfg.seed))
     loader = data_lib.BatchLoader(ds, batch_size=int(tr.batch_size),
                                   shuffle=True, seed=int(cfg.seed))
     step_fn = jax.jit(m.make_train_step(), donate_argnums=0)
@@ -117,6 +126,7 @@ def run_sr_only(cfg, max_steps=None):
     ckpt_every = int(cfg.train.checkpoint_steps)
     log_every = int(cfg.train.log_steps)
     gstep = begin_step
+    steps_per_epoch = max(1, len(loader))
     for raw in loader:
         if gstep >= n_iter:
             break
@@ -125,6 +135,8 @@ def run_sr_only(cfg, max_steps=None):
         rng, k = jax.random.split(rng)
         state, metrics = step_fn(state, batch, k)
         gstep += 1
+        if gstep % steps_per_epoch == 0:
+            epoch += 1  # one pass over the dataset (reference current_epoch)
         if gstep % log_every == 0:
             logger.info("sr step %d | l_pix %.5f", gstep,
                         float(metrics["l_pix"]))

@@ -214,6 +214,11 @@ def get_cfg_defaults() -> ConfigNode:
             eval_steps=5000,
             reset_optimizer=False,
             val_n_img=5,
+            # model3 only: True reproduces the reference's LITERAL behavior
+            # (sampled SR detached before the MICA hand-off,
+            # model/sr3d/model.py:483-490); False keeps the documented
+            # intended semantics (∂l_mica/∂θ_sr flows through sampling)
+            sever_sr_grad=False,
         )
     )
 

@@ -80,6 +80,24 @@ def load_leaves_into(path: str | os.PathLike, target: Any) -> Any:
     return jax.tree_util.tree_unflatten(treedef, leaves)
 
 
+def load_arcface_npz(path: str | os.PathLike, params_template: Any,
+                     stats_template: Any) -> tuple[Any, Any]:
+    """Load a converted ArcFace backbone (``utils/convert.py --kind
+    arcface`` output: flat ``leaf_i`` npz of ``{"params", "batch_stats"}``)
+    into the given templates.  Returns ``(params, batch_stats)``.
+
+    Reference: ``Arcface(pretrained_path=...)`` loads ``backbone.pth``
+    before the prefix freeze (model/mica/arcface.py:166-171).  NOTE the
+    reference's gate is inverted — ``load_mica_model`` only passes the path
+    when ``use_pretrained`` is FALSE (model/sr3d/model.py:64-66), so its
+    default config trains a frozen random prefix; here the path loads
+    whenever it is set and exists."""
+    tree = load_leaves_into(path, {
+        "batch_stats": jax.tree.map(np.asarray, stats_template),
+        "params": jax.tree.map(np.asarray, params_template)})
+    return tree["params"], tree["batch_stats"]
+
+
 def transfer_sr_adam_moments(joint_opt_state: Any, sr_params_template: Any,
                              opt_npz_path: str | os.PathLike) -> Any | None:
     """Transfer SR-only Adam moments into the joint optimizer's ``sr`` slot.

@@ -13,11 +13,21 @@ Variant semantics (reference model/sr3d/model.py:452-502 and SURVEY.md §3.1):
   MICA loss trains only the ArcFace tail + MappingNetwork.
 * **model3**: sampling stays differentiable (per-step remat,
   reference p_sample_loop_learn diffusion.py:243-273) and the hand-off uses
-  the differentiable blob path, so ∂l_mica/∂θ_sr flows.  NOTE the reference
-  actually severs this gradient with ``.detach().requires_grad_()``
-  (model/sr3d/model.py:483-490 — SURVEY.md §7 "hard parts"); we implement the
-  *intended* semantics (gradient flows) and expose
-  ``sever_sr_grad=True`` to reproduce the reference's literal behavior.
+  the differentiable (continuous, unquantised) blob path, so
+  ∂l_mica/∂θ_sr flows.  NOTE the reference actually severs this gradient
+  with ``.detach().requires_grad_()`` (model/sr3d/model.py:483-490 —
+  SURVEY.md §7 "hard parts"); we implement the *intended* semantics
+  (gradient flows) and expose ``sever_sr_grad=True``
+  (``cfg.train.sever_sr_grad``) to reproduce the reference's literal
+  behavior: continuous blob, gradient stopped.
+
+l_sr conditions on the dataset's bicubic SR for both variants.  The
+reference's model3 ``input_sr['SR'] = cat(new_sr)`` (sampled conditioning,
+model/sr3d/model.py:508-517) is DEAD CODE: ``set_device`` mutates dicts in
+place, so ``compute_loss`` receives the still-aliased ``sr_train_data``
+(bicubic 'SR', and — a further reference bug we do NOT reproduce — holding
+only the loop's last single-image slice, so the reference's l_sr averages
+over one image; ours averages the whole flattened batch).
 
 Two optimizers step on disjoint param partitions exactly like the reference
 (Adam on SR, AdamW param-groups on MICA — lib/trainer_temp.py:126-135,
@@ -128,8 +138,16 @@ def build_joint(cfg, flame: FlameModel | None = None,
             masks = masking_ops.load_masks(cfg.mica.model.masks_path)
         except (FileNotFoundError, OSError):
             masks = masking_ops.synthetic_masks(flame.n_vertices)
-    vw = masking_ops.weights_per_vertex(masks, cfg.mica.mask_weights,
-                                        flame.n_vertices)
+    if bool(cfg.mica.train.use_mask):
+        vw = masking_ops.weights_per_vertex(masks, cfg.mica.mask_weights,
+                                            flame.n_vertices)
+    else:
+        # reference default (use_mask=False): the vertex loss is the PLAIN
+        # mean |diff| × 1000 — region weights apply only when use_mask is
+        # set (model/sr3d/model.py:318-322 `if self.use_mask`)
+        import numpy as _np
+
+        vw = _np.ones((flame.n_vertices, 1), _np.float32)
 
     unet = unet_from_config(cfg.sr.model.unet, cfg.sr.model.diffusion,
                             dtype=dtype, remat=bool(cfg.tpu.train_remat))
@@ -148,6 +166,7 @@ def build_joint(cfg, flame: FlameModel | None = None,
         sched_train=schedule_from_config(cfg.sr.model.beta_schedule.train),
         sched_val=schedule_from_config(cfg.sr.model.beta_schedule.val),
         variant=str(cfg.model),
+        sever_sr_grad=bool(cfg.train.get("sever_sr_grad", False)),
         loss_type=str(cfg.sr.model.diffusion.get("loss", "l1")),
         sample_remat=bool(cfg.tpu.sample_remat),
         val_sampler=str(cfg.sr.model.diffusion.get("sampler", "ddpm")),
@@ -157,13 +176,15 @@ def build_joint(cfg, flame: FlameModel | None = None,
 
 
 def make_optimizer(cfg) -> optax.GradientTransformation:
-    """Adam on SR, AdamW param-groups on MICA (reference
-    lib/trainer_temp.py:126-135; arcface group lr model/sr3d/model.py:333-339),
-    with the StepLR decay both share (lr_update_step/lr_gamma)."""
+    """Adam on SR (constant lr — the reference never schedules opt_sr,
+    lib/trainer_temp.py:126), AdamW param-groups on MICA (arcface group lr
+    model/sr3d/model.py:333-339) with the StepLR(gamma=lr_gamma) the
+    reference steps every ``cfg.mica.train.lr_update_step`` global steps on
+    opt_mica only (trainer_temp.py:137, :410-411)."""
     def steplr(base_lr):
         return optax.exponential_decay(
             init_value=base_lr,
-            transition_steps=int(cfg.train.lr_update_step),
+            transition_steps=int(cfg.mica.train.lr_update_step),
             decay_rate=float(cfg.mica.train.lr_gamma),
             staircase=True)
 
@@ -180,7 +201,7 @@ def make_optimizer(cfg) -> optax.GradientTransformation:
 
     return optax.multi_transform(
         {
-            "sr": optax.adam(steplr(float(cfg.sr.train.optimizer.lr))),
+            "sr": optax.adam(float(cfg.sr.train.optimizer.lr)),
             "arcface": optax.adamw(
                 steplr(float(cfg.mica.train.arcface_lr)),
                 weight_decay=float(cfg.mica.train.weight_decay)),
@@ -282,6 +303,12 @@ def make_train_step(opt: optax.GradientTransformation,
         n = hr.size
 
         denoise = _sr_denoise_fn(modules, params["sr"])
+        # l_sr conditions on the dataset's bicubic SR for BOTH variants —
+        # this matches the reference's ACTUAL behavior: its
+        # input_sr['SR']=cat(new_sr) construction (model/sr3d/model.py:517)
+        # is dead code, because set_device mutates dicts in place so
+        # compute_loss receives the aliased sr_train_data whose 'SR' holds
+        # bicubic conditioning (model.py:452-455 aliasing + :83-86 + :536)
         l_sr = p_losses_continuous(
             denoise, modules.sched_train, hr, cond, k_loss,
             loss_type=modules.loss_type) / n
@@ -291,10 +318,15 @@ def make_train_step(opt: optax.GradientTransformation,
         sample = p_sample_loop(
             denoise, modules.sched_train, cond, k_sample,
             differentiable=differentiable, remat=modules.sample_remat)
+        final = sample.final
+        if modules.variant == "model3" and modules.sever_sr_grad:
+            # reference-literal model3: continuous tensor blob, detached
+            # (create_tensor_blob + .detach(), model/sr3d/model.py:483-490)
+            final = jax.lax.stop_gradient(final)
         _, blob = sr_to_mica_inputs(
-            sample.final, image_size=modules.image_size,
+            final, image_size=modules.image_size,
             blob_size=modules.blob_size,
-            differentiable=differentiable)
+            differentiable=(modules.variant == "model3"))
 
         emb, new_stats = encode_mica(modules, params, arcface_stats, blob,
                                      train=True)
@@ -338,8 +370,9 @@ def make_eval_step():
     """Returns jittable ``eval_step(modules, state, batch, rng) -> metrics``
     computing the no-grad combined validation losses the reference's
     ``evaluate_MICA`` uses (lib/trainer_temp.py:464-476: the joint forward in
-    phase='val', l_sr + l_mica, combined = sum).  Sampling uses the quantised
-    hand-off (reference val path) regardless of variant."""
+    phase='val', l_sr + l_mica, combined = sum).  Sampling uses the
+    no-grad quantised hand-off regardless of variant (no gradient is taken
+    at eval, so the model3 continuous-blob distinction is moot here)."""
 
     def eval_step(modules: JointModules, state: JointTrainState, batch, rng):
         k_loss, k_sample = jax.random.split(rng)

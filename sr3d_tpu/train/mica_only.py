@@ -40,7 +40,7 @@ def make_mica_optimizer(cfg) -> optax.GradientTransformation:
     def steplr(base_lr):
         return optax.exponential_decay(
             init_value=base_lr,
-            transition_steps=int(cfg.train.lr_update_step),
+            transition_steps=int(cfg.mica.train.lr_update_step),
             decay_rate=float(cfg.mica.train.lr_gamma),
             staircase=True)
 
@@ -133,6 +133,18 @@ class MicaTrainer:
         self.state = init_mica_state(modules, cfg,
                                      jax.random.PRNGKey(int(cfg.seed)),
                                      self.opt)
+        # pretrained ArcFace backbone before any resume (reference
+        # Arcface(pretrained_path=...), model/mica/arcface.py:166-171)
+        af = cfg.mica.model.get("arcface_pretrained_model")
+        if af and str(af).endswith(".npz") and Path(af).exists():
+            from .checkpoint import load_arcface_npz
+
+            params = dict(self.state.params)
+            params["arcface"], stats = load_arcface_npz(
+                af, self.state.params["arcface"], self.state.arcface_stats)
+            self.state = self.state._replace(params=params,
+                                             arcface_stats=stats)
+            self.logger.info("[MICA] loaded pretrained arcface from %s", af)
         self._step = jax.jit(make_mica_train_step(self.opt),
                              donate_argnums=1)
         self.global_step = 0

@@ -33,8 +33,11 @@ class SRTrainState(NamedTuple):
 class SRModel:
     """SR diffusion branch with its own optimizer/checkpoints."""
 
-    def __init__(self, cfg, dtype=jnp.bfloat16):
+    def __init__(self, cfg, dtype=None):
         self.cfg = cfg
+        if dtype is None:
+            # honour the configured compute dtype like build_joint does
+            dtype = jnp.dtype(str(cfg.tpu.compute_dtype))
         self.unet, self.time_input = define_g(
             cfg.sr.model, dtype=dtype, remat=bool(cfg.tpu.train_remat))
         self.sched_train = schedule_from_config(cfg.sr.model.beta_schedule.train)

@@ -138,6 +138,7 @@ class Trainer:
         self.opt = make_optimizer(cfg)
         self.state = init_train_state(
             self.modules, cfg, jax.random.PRNGKey(int(cfg.seed)), hr_res)
+        self._load_mica_pretrained()
         self.global_step = 0
         self.epoch = 0
 
@@ -181,6 +182,32 @@ class Trainer:
             wandb_cfg=dict(cfg.wandb) if cfg.enable_wandb else None)
 
     # ------------------------------------------------------------------
+    def _load_mica_pretrained(self) -> None:
+        """Converted pretrained MICA weights at construction time, before
+        any resume overrides (reference model/sr3d/model.py:57-79
+        load_mica_model): ``mica.model.arcface_pretrained_model`` → the
+        ArcFace backbone + BN stats (the frozen prefix would otherwise stay
+        at random init forever), ``mica.pretrained_model_path`` → the
+        MappingNetwork.  Both are converted ``utils/convert.py`` npzs."""
+        from .checkpoint import load_arcface_npz, load_leaves_into
+
+        mcfg = self.cfg.mica
+        af = mcfg.model.get("arcface_pretrained_model")
+        if af and str(af).endswith(".npz") and Path(af).exists():
+            params = dict(self.state.params)
+            params["arcface"], stats = load_arcface_npz(
+                af, self.state.params["arcface"], self.state.arcface_stats)
+            self.state = self.state._replace(params=params,
+                                             arcface_stats=stats)
+            logger.info("[MICA] loaded pretrained arcface from %s", af)
+        mp = mcfg.get("pretrained_model_path")
+        if mp and str(mp).endswith(".npz") and Path(mp).exists():
+            params = dict(self.state.params)
+            params["mapping"] = load_leaves_into(
+                mp, self.state.params["mapping"])
+            self.state = self.state._replace(params=params)
+            logger.info("[MICA] loaded pretrained mapping from %s", mp)
+
     def _next_rng(self) -> jax.Array:
         self._rng, k = jax.random.split(self._rng)
         return k
@@ -374,11 +401,14 @@ class Trainer:
                                 sharding=self._batch_sharding)
         t0 = time.time()
         window = []
+        steps_per_epoch = max(1, len(self.train_loader))
         while self.global_step < n_iter:
             jit_batch = next(it)
             self.state, metrics = self._train_step(
                 self.modules, self.state, jit_batch, self._next_rng())
             self.global_step += 1
+            if self.global_step % steps_per_epoch == 0:
+                self.epoch += 1  # reference current_epoch per loader pass
             window.append(metrics)
 
             if log_steps and self.global_step % log_steps == 0:
@@ -462,21 +492,22 @@ class Trainer:
         last_verts = None
         result_dir = self.output_dir / "results" / f"step_{self.global_step}"
         for bi, raw in enumerate(self.val_loader.epoch()):
+            # HR / conditioning are constant across the k samples — convert
+            # once per batch, not once per sample
+            hr_u8 = np.asarray(tensor_to_uint8(jnp.asarray(raw["HR"])))[0]
+            inf_u8 = np.asarray(tensor_to_uint8(jnp.asarray(raw["SR"])))[0]
             for k in range(n_samples):
                 out = self._val_step(self.modules, self.state,
                                      {"SR": np.asarray(raw["SR"], np.float32)},
                                      self._next_rng())
                 sr_u8 = np.asarray(tensor_to_uint8(out["sr"]))[0]
-                hr_u8 = np.asarray(
-                    tensor_to_uint8(jnp.asarray(raw["HR"])))[0]
                 psnrs.append(calculate_psnr(sr_u8, hr_u8))
                 ssims.append(calculate_ssim(sr_u8, hr_u8))
                 if cfg.get("log_eval"):
                     # eval-table row: conditioning / SR / HR + metrics
                     # (reference core/wandb_logger.py:91-116)
                     self.metrics_writer.log_eval_data(
-                        np.asarray(tensor_to_uint8(jnp.asarray(raw["SR"])))[0],
-                        sr_u8, hr_u8, psnrs[-1], ssims[-1])
+                        inf_u8, sr_u8, hr_u8, psnrs[-1], ssims[-1])
                 last_verts = np.asarray(out["verts"])
                 if bi < int(cfg.train.val_n_img):
                     # per-sample dir name from the SR path (reference
@@ -495,9 +526,7 @@ class Trainer:
                     # conditioning, plus hr/lr inputs)
                     save_img(sr_u8, str(dst / f"{name}_sr.png"))
                     save_img(hr_u8, str(dst / f"{name}_hr.png"))
-                    save_img(np.asarray(tensor_to_uint8(
-                        jnp.asarray(raw["SR"])))[0],
-                        str(dst / f"{name}_inf.png"))
+                    save_img(inf_u8, str(dst / f"{name}_inf.png"))
                     if "LR" in raw:
                         save_img(np.asarray(tensor_to_uint8(
                             jnp.asarray(raw["LR"])))[0],

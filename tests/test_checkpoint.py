@@ -223,6 +223,96 @@ def test_joint_warm_start_transfers_adam_moments(tmp_path):
     assert checked == len(sr_moments) and counts >= 1
 
 
+def test_trainer_loads_pretrained_arcface_and_mapping(tmp_path):
+    """cfg.mica.model.arcface_pretrained_model / cfg.mica.pretrained_model_path
+    load converted pretrained weights at construction (a review found them
+    dead config: the frozen ArcFace prefix stayed at random init forever).
+    Note the reference's own use_pretrained gate is inverted
+    (model/sr3d/model.py:64-66) — here the path loads whenever set."""
+    import jax
+
+    cfg = _tiny_cfg()
+    ref_trainer, _ = _joint_trainer(tmp_path / "ref", cfg)
+
+    # "converted" weights = a differently-seeded arcface + mapping, saved in
+    # the utils/convert.py flat-leaf format
+    donor = jax.tree.map(lambda x: np.asarray(x) + 0.25,
+                         {"batch_stats": jax.device_get(
+                             ref_trainer.state.arcface_stats),
+                          "params": jax.device_get(
+                              ref_trainer.state.params["arcface"])})
+    af_npz = tmp_path / "backbone.npz"
+    leaves = jax.tree_util.tree_leaves(donor)
+    np.savez(af_npz, **{f"leaf_{i}": x for i, x in enumerate(leaves)})
+    map_donor = jax.tree.map(lambda x: np.asarray(x) - 0.5,
+                             jax.device_get(
+                                 ref_trainer.state.params["mapping"]))
+    map_npz = tmp_path / "mica_mapping.npz"
+    np.savez(map_npz, **{f"leaf_{i}": x for i, x in enumerate(
+        jax.tree_util.tree_leaves(map_donor))})
+
+    cfg2 = _tiny_cfg()
+    cfg2.mica.model.arcface_pretrained_model = str(af_npz)
+    cfg2.mica.pretrained_model_path = str(map_npz)
+    trainer, _ = _joint_trainer(tmp_path / "pre", cfg2)
+    for a, b in zip(
+            jax.tree_util.tree_leaves(trainer.state.params["arcface"]),
+            jax.tree_util.tree_leaves(donor["params"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree_util.tree_leaves(trainer.state.arcface_stats),
+                    jax.tree_util.tree_leaves(donor["batch_stats"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(
+            jax.tree_util.tree_leaves(trainer.state.params["mapping"]),
+            jax.tree_util.tree_leaves(map_donor)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # SR branch untouched
+    for a, b in zip(jax.tree_util.tree_leaves(trainer.state.params["sr"]),
+                    jax.tree_util.tree_leaves(
+                        ref_trainer.state.params["sr"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_sr_only_honours_explicit_ckt_and_epochs(tmp_path):
+    """--sr-only with -ckt loads the requested prefix (no silent degrade to
+    auto-resume) and the saved pair's epoch advances per dataset pass."""
+    import jax
+
+    from sr3d_tpu.cli.main import run_sr_only
+    from sr3d_tpu.data.synthetic import generate_synthetic_faces
+
+    cfg = _tiny_cfg()
+    cfg.name = "ckt"
+    cfg.output_dir = str(tmp_path / "out")
+    cfg.phase = "train"
+    generate_synthetic_faces(tmp_path / "lrhr", n=4, l_res=8, r_res=16)
+    cfg.sr.datasets.train.dataroot = str(tmp_path / "lrhr")
+    cfg.sr.datasets.train.l_resolution = 8
+    cfg.sr.datasets.train.r_resolution = 16
+    cfg.sr.datasets.train.batch_size = 2   # 2 batches/epoch over 4 images
+    cfg.sr.train.n_iter = 4
+    cfg.train.checkpoint_steps = 4
+    cfg.train.log_steps = 2
+    run_sr_only(cfg)
+    ckpt_dir = tmp_path / "out" / "ckt" / cfg.path.checkpoint_sr
+    # 4 steps / 2 batches-per-epoch = 2 epochs
+    assert (ckpt_dir / "I4_E2_gen.npz").exists()
+
+    # explicit -ckt prefix resumes from it even in a fresh output tree
+    cfg.name = "ckt2"
+    cfg.checkpoint = str(ckpt_dir / "I4_E2")
+    cfg.sr.train.n_iter = 5
+    run_sr_only(cfg)
+    ckpt_dir2 = tmp_path / "out" / "ckt2" / cfg.path.checkpoint_sr
+    assert any(p.name.startswith("I5_") for p in ckpt_dir2.glob("I*_gen.npz"))
+
+    # a bogus -ckt fails loudly instead of silently training from scratch
+    cfg.name = "ckt3"
+    cfg.checkpoint = str(ckpt_dir / "I999_E9")
+    with pytest.raises(FileNotFoundError):
+        run_sr_only(cfg)
+
+
 def test_moment_transfer_rejects_mismatched_checkpoint(tmp_path):
     """A width-mismatched (or structurally foreign) _opt.npz must yield
     fully-fresh Adam — never an advanced count with zero moments."""
@@ -349,11 +439,12 @@ def test_staged_workflow_sr_pretrain_then_joint(tmp_path):
     # resume continues from the saved step
     run_sr_only(cfg, max_steps=1)  # n_iter already reached → immediate save
     from sr3d_tpu.train.sr_only import SRModel
+    # 3 steps over 2 batches/epoch → epoch advanced once at step 2
     assert SRModel(cfg, dtype=jnp.float32).latest_prefix(ckpt_dir)\
-        .endswith("I3_E0")
+        .endswith("I3_E1")
 
     # joint trainer picks the pair up through fit()'s warm-start branch
     trainer, _ = _joint_trainer(tmp_path, cfg)
-    prefix = str(ckpt_dir / "I3_E0")
+    prefix = str(ckpt_dir / "I3_E1")
     assert trainer.load_sr_pretrained(prefix)
     assert trainer.global_step == 3

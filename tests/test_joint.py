@@ -118,6 +118,71 @@ def test_loss_partition_semantics():
             assert gnorm == 0.0, "model2 must sever l_mica → UNet gradient"
 
 
+def test_use_mask_flag_controls_vertex_weights():
+    """Reference default (use_mask=False) → PLAIN mean|diff|×1000; region
+    weights apply only when cfg.mica.train.use_mask is set
+    (model/sr3d/model.py:318-322 `if self.use_mask`)."""
+    cfg = tiny_cfg()
+    assert cfg.mica.train.use_mask is False  # the reference default
+    plain = build_joint(cfg)
+    np.testing.assert_array_equal(np.asarray(plain.vertex_weights), 1.0)
+
+    cfg.mica.train.use_mask = True
+    masked = build_joint(cfg)
+    w = np.asarray(masked.vertex_weights)
+    assert w.min() != w.max(), "use_mask=True must apply region weights"
+
+
+def test_model3_sever_sr_grad_reference_literal():
+    """cfg.train.sever_sr_grad=True reproduces the reference's literal
+    model3: continuous (unquantised) blob hand-off, but ∂l_mica/∂θ_sr
+    severed (.detach(), model/sr3d/model.py:483-490)."""
+    from sr3d_tpu.diffusion.gaussian import p_sample_loop
+    from sr3d_tpu.models import masking as masking_ops
+    from sr3d_tpu.ops.image import sr_to_mica_inputs
+    from sr3d_tpu.train.joint import (
+        decode_mica,
+        encode_mica,
+        gt_flame_vertices,
+    )
+
+    cfg = tiny_cfg("model3")
+    cfg.train.sever_sr_grad = True
+    modules = build_joint(cfg)
+    assert modules.sever_sr_grad is True
+    state = init_train_state(modules, cfg, jax.random.PRNGKey(0), 16)
+    batch = batch_of()
+
+    def l_mica_only(sr_params):
+        params = dict(state.params, sr=sr_params)
+        denoise = lambda x, t: modules.unet.apply(sr_params, x, t)
+        sample = p_sample_loop(denoise, modules.sched_train, batch["SR"],
+                               jax.random.PRNGKey(0),
+                               differentiable=False, remat=False)
+        final = jax.lax.stop_gradient(sample.final)
+        # continuous blob (differentiable path), matching the train step
+        _, blob = sr_to_mica_inputs(final, differentiable=True)
+        emb, _ = encode_mica(modules, params, state.arcface_stats, blob,
+                             train=False)
+        pred, _ = decode_mica(modules, params, emb)
+        gt = gt_flame_vertices(modules, batch["flame_shape"])
+        return masking_ops.masked_vertex_l1(pred, gt,
+                                            modules.vertex_weights)
+
+    g = jax.grad(l_mica_only)(state.params["sr"])
+    gnorm = jax.tree_util.tree_reduce(
+        lambda a, x: a + float(jnp.sum(jnp.abs(x))), g, 0.0)
+    assert gnorm == 0.0
+
+    # and the severed train step still runs end-to-end
+    opt = make_optimizer(cfg)
+    step = make_train_step(opt)
+    s1, m = jax.jit(step)(modules, init_train_state(
+        modules, cfg, jax.random.PRNGKey(1), 16), batch,
+        jax.random.PRNGKey(2))
+    assert np.isfinite(float(m["loss"]))
+
+
 def test_mica_loss_zero_for_perfect_prediction():
     cfg = tiny_cfg()
     modules = build_joint(cfg)

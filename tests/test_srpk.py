@@ -193,7 +193,8 @@ def test_sr_only_trains_from_srpk(tmp_path):
     cfg.train.log_steps = 1
     run_sr_only(cfg)
     ckpt = tmp_path / "runs" / "srpk_train" / cfg.path.checkpoint_sr
-    assert list(ckpt.glob("I2_E0_gen.npz"))
+    # 2 steps over 2 batches/epoch → one full dataset pass → epoch 1
+    assert list(ckpt.glob("I2_E1_gen.npz"))
 
 
 def test_pack_lrhr_root_and_prepare_cli(tmp_path):
