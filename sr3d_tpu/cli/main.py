@@ -157,9 +157,15 @@ def main(argv=None):
     np.random.seed(int(cfg.seed))
 
     out = Path(cfg.output_dir) / (cfg.name or "default")
-    (out / cfg.path.log).mkdir(parents=True, exist_ok=True)
-    # dump the merged config for reproducibility (main_temp.py:47-49)
-    cfg.dump(str(out / "full_config.yaml"))
+    log_dir = out / cfg.path.log
+    log_dir.mkdir(parents=True, exist_ok=True)
+    # reproducibility pair (main_temp.py:47-49): the raw experiment YAML →
+    # logs/config.yml, the fully-merged tree → logs/full_config.yaml
+    if cfg.get("cfg_file") and Path(str(cfg.cfg_file)).exists():
+        import shutil
+
+        shutil.copy(str(cfg.cfg_file), str(log_dir / "config.yml"))
+    cfg.dump(str(log_dir / "full_config.yaml"))
 
     import contextlib
 

@@ -182,6 +182,12 @@ class MicaTrainer:
         self.state = restored["state"]
         self.global_step = int(restored["meta"]["global_step"])
         self.logger.info("mica resume @ step %d", self.global_step)
+        if bool(self.cfg.mica.train.reset_optimizer):
+            # fresh optimizer over the restored params (reference
+            # micalib/trainer.py:73-76 reconfigures after load_checkpoint)
+            self.state = self.state._replace(
+                opt_state=self.opt.init(jax.device_get(self.state.params)))
+            self.logger.info("[MICA] Optimizer was reset")
         return True
 
     def validation_step(self) -> dict:

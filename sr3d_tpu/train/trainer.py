@@ -250,6 +250,14 @@ class Trainer:
         self.global_step = int(restored["meta"]["global_step"])
         self.epoch = int(restored["meta"]["epoch"])
         logger.info("resumed from step %d", self.global_step)
+        if bool(self.cfg.train.reset_optimizer):
+            # fresh optimizer (+ its internal schedule count) on top of the
+            # restored params (reference lib/trainer_temp.py:96-99)
+            self.state = jax.device_put(
+                self.state._replace(opt_state=self.opt.init(
+                    jax.device_get(self.state.params))),
+                self._state_shardings)
+            logger.info("[TRAINER] Optimizer was reset")
         return True
 
     def save_checkpoint(self) -> None:

@@ -223,6 +223,44 @@ def test_joint_warm_start_transfers_adam_moments(tmp_path):
     assert checked == len(sr_moments) and counts >= 1
 
 
+def test_reset_optimizer_after_resume(tmp_path):
+    """cfg.train.reset_optimizer=True re-initializes the optimizer state
+    after a checkpoint resume while keeping the restored params (reference
+    lib/trainer_temp.py:96-99) — it was dead config before."""
+    import jax
+
+    from tests.test_joint import batch_of
+
+    trainer, cfg = _joint_trainer(tmp_path)
+    batch = {k: np.asarray(v) for k, v in batch_of(
+        n=2, n_shape=int(cfg.mica.model.n_shape)).items()}
+    trainer.state, _ = trainer._train_step(
+        trainer.modules, trainer.state, batch, jax.random.PRNGKey(0))
+    trainer.global_step = 1
+    trainer.save_checkpoint()
+    trainer.ckpt.wait()
+
+    cfg2 = _tiny_cfg()
+    cfg2.train.reset_optimizer = True
+    trainer2, _ = _joint_trainer(tmp_path, cfg2)
+    assert trainer2.load_checkpoint()
+    # params restored from the checkpoint...
+    for a, b in zip(jax.tree_util.tree_leaves(trainer2.state.params),
+                    jax.tree_util.tree_leaves(trainer.state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # ...but the optimizer state is a fresh init (zero moments/count)
+    fresh = trainer2.opt.init(jax.device_get(trainer2.state.params))
+    for a, b in zip(jax.tree_util.tree_leaves(trainer2.state.opt_state),
+                    jax.tree_util.tree_leaves(fresh)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # sanity: without the flag the moments would NOT be fresh
+    stepped = any(
+        np.any(np.asarray(a) != np.asarray(b))
+        for a, b in zip(jax.tree_util.tree_leaves(trainer.state.opt_state),
+                        jax.tree_util.tree_leaves(fresh)))
+    assert stepped, "one train step must have moved the optimizer state"
+
+
 def test_trainer_loads_pretrained_arcface_and_mapping(tmp_path):
     """cfg.mica.model.arcface_pretrained_model / cfg.mica.pretrained_model_path
     load converted pretrained weights at construction (a review found them
