@@ -121,6 +121,25 @@ def test_arcface_conversion_parity():
     ours = np.asarray(net.apply(converted, jnp.asarray(x)))
     np.testing.assert_allclose(ours, ref_out, atol=5e-3, rtol=1e-3)
 
+    # producer → consumer round trip: the convert CLI's flat leaf_i npz must
+    # load back through load_arcface_npz (the trainers' pretrained path)
+    import tempfile
+    from pathlib import Path
+
+    from sr3d_tpu.train.checkpoint import load_arcface_npz
+
+    npz = Path(tempfile.mkdtemp()) / "backbone.npz"
+    leaves = jax.tree_util.tree_leaves(jax.device_get(converted))
+    np.savez(npz, **{f"leaf_{i}": v for i, v in enumerate(leaves)})
+    params, stats = load_arcface_npz(npz, init_vars["params"],
+                                     init_vars["batch_stats"])
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(converted["params"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree_util.tree_leaves(stats),
+                    jax.tree_util.tree_leaves(converted["batch_stats"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
 
 def test_mapping_conversion_parity():
     import jax
