@@ -239,6 +239,7 @@ def get_cfg_defaults() -> ConfigNode:
             use_pallas=True,              # fused kernels where profitable
             donate_state=True,
             prefetch_depth=2,
+            grad_accum=1,                 # micro-batches per optimizer update
         )
     )
 

@@ -199,7 +199,7 @@ def make_optimizer(cfg) -> optax.GradientTransformation:
             "mapping": jax.tree.map(lambda _: "mapping", params["mapping"]),
         }
 
-    return optax.multi_transform(
+    opt = optax.multi_transform(
         {
             "sr": optax.adam(float(cfg.sr.train.optimizer.lr)),
             "arcface": optax.adamw(
@@ -214,6 +214,15 @@ def make_optimizer(cfg) -> optax.GradientTransformation:
         },
         param_labels=param_labels,
     )
+    k = int(cfg.tpu.get("grad_accum", 1))
+    if k > 1:
+        # gradient accumulation (new capability, no reference equivalent):
+        # k micro-batches average into one optimizer update, so the
+        # effective batch is k× what fits in HBM — exact-match tested
+        # against the big-batch step in tests/test_joint.py
+        opt = optax.MultiSteps(opt, every_k_schedule=k) \
+            .gradient_transformation()
+    return opt
 
 
 def init_train_state(modules: JointModules, cfg, rng: jax.Array,

@@ -45,13 +45,19 @@ def make_mica_optimizer(cfg) -> optax.GradientTransformation:
             staircase=True)
 
     wd = float(cfg.mica.train.weight_decay)
-    return optax.multi_transform(
+    opt = optax.multi_transform(
         {"arcface": optax.adamw(steplr(float(cfg.mica.train.arcface_lr)),
                                 weight_decay=wd),
          "mapping": optax.adamw(steplr(float(cfg.mica.train.lr)),
                                 weight_decay=wd),
          "frozen": optax.set_to_zero()},
         param_labels=labels)
+    k = int(cfg.tpu.get("grad_accum", 1))
+    if k > 1:
+        # same micro-batch accumulation knob as the joint make_optimizer
+        opt = optax.MultiSteps(opt, every_k_schedule=k) \
+            .gradient_transformation()
+    return opt
 
 
 def init_mica_state(modules: JointModules, cfg, rng: jax.Array,

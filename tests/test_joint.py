@@ -183,6 +183,76 @@ def test_model3_sever_sr_grad_reference_literal():
     assert np.isfinite(float(m["loss"]))
 
 
+def test_grad_accumulation_matches_big_batch():
+    """cfg.tpu.grad_accum=k: k micro-batch steps average into ONE optimizer
+    update that matches the big-batch step (optax.MultiSteps wrap in
+    make_optimizer).  Uses the SR p_losses only (deterministic given rng);
+    the joint step's sampled-MICA path would need identical noise across
+    layouts, which batch splitting changes."""
+    from sr3d_tpu.diffusion.gaussian import p_losses_continuous
+
+    cfg = tiny_cfg()
+    modules = build_joint(cfg)
+    state = init_train_state(modules, cfg, jax.random.PRNGKey(0), 16)
+    sr0 = state.params["sr"]
+    rng = np.random.RandomState(7)
+    hr = jnp.asarray(rng.uniform(-1, 1, (4, 16, 16, 3)), jnp.float32)
+    cond = jnp.asarray(rng.uniform(-1, 1, (4, 16, 16, 3)), jnp.float32)
+    # per-sample losses with per-sample keys so micro/big batches see the
+    # SAME noise per image (vmap over the batch)
+    keys = jax.random.split(jax.random.PRNGKey(3), 4)
+
+    def one(params, h, c, k):
+        return p_losses_continuous(
+            lambda x, t: modules.unet.apply(params, x, t),
+            modules.sched_train, h[None], c[None], k) / h.size
+
+    def mean_loss(params, h, c, ks):
+        return jnp.mean(jax.vmap(one, in_axes=(None, 0, 0, 0))(
+            params, h, c, ks))
+
+    import optax
+
+    # SGD: the update is linear in the gradient, so micro-mean == big-batch
+    # holds tightly (Adam's m/√v normalisation amplifies ~1e-7 association
+    # noise on near-zero grads into lone outliers)
+    base = optax.sgd(1e-2)
+    g_big = jax.grad(mean_loss)(sr0, hr, cond, keys)
+    upd, _ = base.update(g_big, base.init(sr0), sr0)
+    big = optax.apply_updates(sr0, upd)
+
+    acc = optax.MultiSteps(base, every_k_schedule=2).gradient_transformation()
+    acc_state = acc.init(sr0)
+    params = sr0
+    for i in range(2):
+        sl = slice(2 * i, 2 * i + 2)
+        g = jax.grad(mean_loss)(params, hr[sl], cond[sl], keys[sl])
+        upd, acc_state = acc.update(g, acc_state, params)
+        params = optax.apply_updates(params, upd)
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(big)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-6, rtol=1e-6)
+
+    # and the joint trainer's optimizer honours the config knob end-to-end
+    cfg.tpu.grad_accum = 2
+    opt = make_optimizer(cfg)
+    step = make_train_step(opt)
+    st = init_train_state(modules, cfg, jax.random.PRNGKey(1), 16)
+    batch = batch_of()
+    st1, _ = jax.jit(step)(modules, st, batch, jax.random.PRNGKey(2))
+    # first micro-step: update withheld, params unchanged
+    for a, b in zip(jax.tree_util.tree_leaves(st1.params),
+                    jax.tree_util.tree_leaves(st.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    st2, _ = jax.jit(step)(modules, st1, batch, jax.random.PRNGKey(4))
+    changed = any(
+        np.any(np.asarray(a) != np.asarray(b))
+        for a, b in zip(jax.tree_util.tree_leaves(st2.params["sr"]),
+                        jax.tree_util.tree_leaves(st.params["sr"])))
+    assert changed, "second micro-step must apply the accumulated update"
+
+
 def test_mica_loss_zero_for_perfect_prediction():
     cfg = tiny_cfg()
     modules = build_joint(cfg)
