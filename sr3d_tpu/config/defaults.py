@@ -210,6 +210,9 @@ def get_cfg_defaults() -> ConfigNode:
             vis_steps=500,
             write_summary=True,
             checkpoint_steps=1000,
+            # checkpoints retained by rotation; ≤0 keeps all (the reference
+            # keeps every I*_E*_checkpoint.pth)
+            checkpoint_max_keep=5,
             val_vis_dir="val_images_mica",
             eval_steps=5000,
             reset_optimizer=False,

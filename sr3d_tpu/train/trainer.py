@@ -167,7 +167,11 @@ class Trainer:
             donate_argnums=1)
         self._val_step = jax.jit(make_val_step())
 
-        self.ckpt = CheckpointManager(self.ckpt_dir)
+        # the reference keeps every I*_E*_checkpoint.pth; we rotate (orbax
+        # default) but make the retention configurable — 0/negative = keep all
+        keep = int(cfg.train.get("checkpoint_max_keep", 5))
+        self.ckpt = CheckpointManager(
+            self.ckpt_dir, max_to_keep=(keep if keep > 0 else 10 ** 9))
         self.best_model = BestModel(int(cfg.mica.running_average),
                                     save_fn=self._save_best)
         self.best_model_loss: float | None = None  # plain combined best
