@@ -351,3 +351,82 @@ def ddim_sample_loop(
 
     img, _ = jax.lax.scan(step, img0, jnp.arange(num_steps - 1, -1, -1))
     return jax.lax.stop_gradient(img)
+
+
+def dpmpp_sample_loop(
+    denoise_apply: DenoiseFn,
+    sched: DiffusionSchedule,
+    x_in: jax.Array,
+    rng: jax.Array,
+    *,
+    num_steps: int = 25,
+    conditional: bool = True,
+    clip_denoised: bool = True,
+    time_input: Literal["gamma", "t"] = "gamma",
+) -> jax.Array:
+    """DPM-Solver++(2M): deterministic second-order multistep sampling
+    (Lu et al. 2022 data-prediction form, implemented from the published
+    update rule — new capability, no reference equivalent).
+
+    Halves the UNet evaluations again vs DDIM at matched quality: the
+    second-order Adams-Bashforth combination of consecutive x₀ predictions
+    cancels the first-order discretisation error of the exponential
+    integrator.  Deterministic; the first and final updates fall back to
+    first order (== DDIM η=0, the standard ``lower_order_final`` guard —
+    the terminal log-SNR is infinite, so the 2M coefficient r would be 0).
+    """
+    T = sched.num_timesteps
+    num_steps = min(num_steps, T)
+    condition = x_in if conditional else None
+    taus = jnp.linspace(0, T - 1, num_steps).round().astype(jnp.int32)
+
+    k_init, _ = jax.random.split(rng)
+    img0 = jax.random.normal(k_init, x_in.shape, jnp.float32)
+
+    def x0_pred(img, t):
+        b = img.shape[0]
+        if time_input == "gamma":
+            time = jnp.full((b, 1), sched.sqrt_alphas_cumprod_prev[t + 1],
+                            dtype=img.dtype)
+        else:
+            time = jnp.full((b,), t, dtype=jnp.int32)
+        net_in = (img if condition is None
+                  else jnp.concatenate([condition, img], -1))
+        eps = denoise_apply(net_in, time).astype(jnp.float32)
+        x0 = predict_start_from_noise(sched, img, t, eps)
+        if clip_denoised:
+            x0 = jnp.clip(x0, -1.0, 1.0)
+        return x0
+
+    def step(carry, i):
+        img, d_prev, lam_prev, have_prev = carry
+        t = taus[i]
+        t_prev = jnp.where(i > 0, taus[jnp.maximum(i - 1, 0)], -1)
+
+        d = x0_pred(img, t)
+
+        a_c = sched.alphas_cumprod[t]
+        a_p = jnp.where(t_prev >= 0,
+                        sched.alphas_cumprod[jnp.maximum(t_prev, 0)], 1.0)
+        alpha_c, sigma_c = jnp.sqrt(a_c), jnp.sqrt(1.0 - a_c)
+        alpha_p = jnp.sqrt(a_p)
+        sigma_p = jnp.sqrt(jnp.maximum(1.0 - a_p, 0.0))
+        # e^{-h} = (α_c σ_p)/(α_p σ_c); exactly 0 at the terminal clean state
+        e_neg_h = (alpha_c * sigma_p) / (alpha_p * sigma_c)
+        lam_c = jnp.log(alpha_c / sigma_c)
+
+        # 2M correction: D̃ = D + (D - D_prev)/(2 r),  r = h_prev/h
+        h = -jnp.log(jnp.maximum(e_neg_h, 1e-38))   # λ_target − λ_c > 0
+        h_prev = lam_c - lam_prev
+        r = h_prev / h
+        d_tilde = d + (d - d_prev) / (2.0 * r)
+        use_2nd = have_prev & (t_prev >= 0)
+        d_eff = jnp.where(use_2nd, d_tilde, d)
+
+        img_next = (sigma_p / sigma_c) * img + alpha_p * (1.0 - e_neg_h) * d_eff
+        return (img_next, d, lam_c, jnp.bool_(True)), None
+
+    carry0 = (img0, jnp.zeros_like(img0), jnp.float32(0.0), jnp.bool_(False))
+    (img, _, _, _), _ = jax.lax.scan(step, carry0,
+                                     jnp.arange(num_steps - 1, -1, -1))
+    return jax.lax.stop_gradient(img)

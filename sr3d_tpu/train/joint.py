@@ -423,6 +423,13 @@ def make_val_step(use_ema: bool = False):
                 denoise, modules.sched_val, batch["SR"], rng,
                 num_steps=modules.ddim_steps, eta=modules.ddim_eta)
             sample = SampleOutput(final=final, intermediates=None)
+        elif modules.val_sampler == "dpm++":
+            from ..diffusion.gaussian import dpmpp_sample_loop
+
+            final = dpmpp_sample_loop(
+                denoise, modules.sched_val, batch["SR"], rng,
+                num_steps=modules.ddim_steps)
+            sample = SampleOutput(final=final, intermediates=None)
         else:
             sample = p_sample_loop(denoise, modules.sched_val, batch["SR"],
                                    rng)

@@ -210,6 +210,15 @@ class SRModel:
                         self.cfg.sr.model.diffusion.get("ddim_eta", 1.0)),
                     conditional=self.conditional,
                     time_input=self.time_input)
+            if sampler == "dpm++" and not continuous:
+                from ..diffusion.gaussian import dpmpp_sample_loop
+
+                return dpmpp_sample_loop(
+                    denoise, self.sched_val, cond, rng,
+                    num_steps=int(
+                        self.cfg.sr.model.diffusion.get("ddim_steps", 50)),
+                    conditional=self.conditional,
+                    time_input=self.time_input)
             out = p_sample_loop(
                 denoise, self.sched_val, cond, rng,
                 conditional=self.conditional,

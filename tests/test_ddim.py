@@ -1,4 +1,5 @@
-"""DDIM sampler: shapes, determinism, quality vs full ancestral sampling."""
+"""DDIM / DPM-Solver++ samplers: shapes, determinism, order checks,
+quality vs full ancestral sampling."""
 
 import jax
 import jax.numpy as jnp
@@ -8,6 +9,7 @@ import pytest
 
 from sr3d_tpu.diffusion.gaussian import (
     ddim_sample_loop,
+    dpmpp_sample_loop,
     p_losses_continuous,
     p_sample_loop,
 )
@@ -38,6 +40,73 @@ def test_ddim_no_gradient_leak(tiny_unet, tiny_schedule):
     g = jax.grad(loss)(params)
     assert jax.tree_util.tree_reduce(
         lambda a, x: a + float(jnp.sum(jnp.abs(x))), g, 0.0) == 0.0
+
+
+def test_dpmpp_first_order_equals_ddim_eta0(tiny_unet, tiny_schedule):
+    """With 2 steps both updates hit the lower-order guard (first step has
+    no history; the final step's target log-SNR is infinite), so
+    DPM-Solver++(2M) must reduce EXACTLY to deterministic DDIM — the
+    published first-order equivalence."""
+    unet, params = tiny_unet
+    apply = lambda x, t: unet.apply(params, x, t)
+    cond = jnp.asarray(
+        np.random.RandomState(0).uniform(-1, 1, (2, 16, 16, 3)), jnp.float32)
+    # clip_denoised=False: DDIM rebuilds its update from the UNCLIPPED eps
+    # while DPM++ propagates the clipped x0 consistently, so the exact
+    # first-order identity only holds without the clip
+    a = dpmpp_sample_loop(apply, tiny_schedule, cond, jax.random.PRNGKey(5),
+                          num_steps=2, clip_denoised=False)
+    b = ddim_sample_loop(apply, tiny_schedule, cond, jax.random.PRNGKey(5),
+                         num_steps=2, eta=0.0, clip_denoised=False)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_dpmpp_deterministic_and_no_gradient_leak(tiny_unet, tiny_schedule):
+    unet, params = tiny_unet
+    apply = lambda x, t: unet.apply(params, x, t)
+    cond = jnp.zeros((2, 16, 16, 3))
+    a = dpmpp_sample_loop(apply, tiny_schedule, cond, jax.random.PRNGKey(7),
+                          num_steps=6)
+    b = dpmpp_sample_loop(apply, tiny_schedule, cond, jax.random.PRNGKey(7),
+                          num_steps=6)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert a.shape == (2, 16, 16, 3)
+    assert np.isfinite(np.asarray(a)).all()
+
+    def loss(p):
+        out = dpmpp_sample_loop(lambda x, t: unet.apply(p, x, t),
+                                tiny_schedule, jnp.zeros((1, 16, 16, 3)),
+                                jax.random.PRNGKey(0), num_steps=4)
+        return jnp.mean(out ** 2)
+
+    g = jax.grad(loss)(params)
+    assert jax.tree_util.tree_reduce(
+        lambda a, x: a + float(jnp.sum(jnp.abs(x))), g, 0.0) == 0.0
+
+
+def test_dpmpp_dispatches_through_val_step():
+    """cfg sampler="dpm++" reaches dpmpp_sample_loop through the jitted
+    val step (the Predictor's compiled path)."""
+    from tests.test_joint import batch_of, tiny_cfg
+
+    from sr3d_tpu.train.joint import (
+        build_joint,
+        init_train_state,
+        make_val_step,
+    )
+
+    cfg = tiny_cfg()
+    cfg.sr.model.diffusion.sampler = "dpm++"
+    cfg.sr.model.diffusion.ddim_steps = 4
+    modules = build_joint(cfg)
+    assert modules.val_sampler == "dpm++"
+    state = init_train_state(modules, cfg, jax.random.PRNGKey(0), 16)
+    out = jax.jit(make_val_step())(modules, state,
+                                   {"SR": batch_of()["SR"]},
+                                   jax.random.PRNGKey(1))
+    assert out["sr"].shape == (2, 16, 16, 3)
+    assert np.isfinite(np.asarray(out["sr"])).all()
 
 
 def test_ddim_matches_ancestral_quality_on_trained_model():
@@ -88,3 +157,14 @@ def test_ddim_matches_ancestral_quality_on_trained_model():
     psnr_ddim = float(psnr_device(tensor_to_uint8(ddim), hr_u8))
     assert psnr_ddim > psnr_full - 3.0, (psnr_full, psnr_ddim)
     assert psnr_ddim > 10.0
+
+    # second order must not lose to first order at the same (deterministic)
+    # step budget
+    ddim0 = ddim_sample_loop(apply, sched, cond, jax.random.PRNGKey(99),
+                             num_steps=10, eta=0.0)
+    dpmpp = dpmpp_sample_loop(apply, sched, cond, jax.random.PRNGKey(99),
+                              num_steps=10)
+    psnr_d0 = float(psnr_device(tensor_to_uint8(ddim0), hr_u8))
+    psnr_dp = float(psnr_device(tensor_to_uint8(dpmpp), hr_u8))
+    assert psnr_dp > psnr_d0 - 0.5, (psnr_d0, psnr_dp)
+    assert np.isfinite(np.asarray(dpmpp)).all()
