@@ -28,6 +28,7 @@ from .checkpoint import CheckpointManager, save_state_npz
 from .joint import (
     JointModules,
     build_joint,
+    gt_flame_vertices,
     init_train_state,
     make_eval_step,
     make_optimizer,
@@ -388,6 +389,7 @@ class Trainer:
         ckpt_steps = int(cfg.train.checkpoint_steps)
         eval_steps = int(cfg.train.eval_steps)
         mica_eval_steps = int(cfg.mica.train.eval_steps)
+        vis_steps = int(cfg.train.get("vis_steps", 0))
 
         dp = int(self.mesh.shape[mesh_lib.DATA_AXIS])
 
@@ -437,6 +439,11 @@ class Trainer:
                                                 prefix="train/")
                 self.metrics_writer.add_scalar(
                     "train/sec_per_it", dt / log_steps, self.global_step)
+            if vis_steps and self.global_step % vis_steps == 0:
+                try:
+                    self.visualize_train(jit_batch)
+                except Exception:
+                    logger.exception("train visualization failed")
             if ckpt_steps and self.global_step % ckpt_steps == 0:
                 self.save_checkpoint()
             if mica_eval_steps and self.global_step % mica_eval_steps == 0:
@@ -445,6 +452,41 @@ class Trainer:
                 self.evaluate()
         self.save_checkpoint()
         self.ckpt.wait()  # drain async orbax writes before returning
+
+    def visualize_train(self, jit_batch, n_show: int = 4) -> None:
+        """Train-phase mesh visualization at the ``train.vis_steps`` cadence
+        (reference lib/trainer_temp.py:360-400): up to ``n_show`` samples'
+        predicted canonical meshes next to their GT FLAME meshes and the
+        network-input images, tiled into
+        ``train_images/{epoch}_{step}/train_3d.jpg`` + a TB/JSONL image."""
+        from ..eval.renderer import render_meshes, visualize_grid
+
+        # host slice of the (possibly DP-sharded) batch; cadence-rate only
+        sub = {k: np.asarray(jax.device_get(v))[:n_show]
+               for k, v in jit_batch.items()}
+        out = self._val_step(
+            self.modules, self.state,
+            {"SR": jnp.asarray(sub["SR"], jnp.float32)}, self._next_rng())
+        pred = np.asarray(render_meshes(out["verts"], self.modules.flame.faces,
+                                        image_size=256))
+        rows = [pred]
+        if "flame_shape" in sub:
+            gt_verts = gt_flame_vertices(
+                self.modules, jnp.asarray(sub["flame_shape"], jnp.float32))
+            rows.append(np.asarray(render_meshes(
+                gt_verts, self.modules.flame.faces, image_size=256)))
+        imgs = np.clip(np.asarray(out["img224"]) * 0.5 + 0.5, 0.0, 1.0)
+        rows.append(np.stack([
+            np.asarray(jax.image.resize(jnp.asarray(im), (256, 256, 3),
+                                        "bilinear")) for im in imgs]))
+        dst = (self.output_dir / "train_images"
+               / f"{self.epoch}_{self.global_step}")
+        dst.mkdir(parents=True, exist_ok=True)
+        grid = visualize_grid(np.concatenate(rows),
+                              path=str(dst / "train_3d.jpg"),
+                              ncol=pred.shape[0])
+        self.metrics_writer.add_image("train/train_3d", grid,
+                                      self.global_step)
 
     def _save_best(self, tag: str) -> None:
         """Named best-model snapshot (reference best_models/*.tar)."""

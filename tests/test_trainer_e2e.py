@@ -36,6 +36,7 @@ def make_cfg(root: Path):
     cfg.train.checkpoint_steps = 4
     cfg.train.log_steps = 2
     cfg.mica.train.eval_steps = 4  # evaluate_MICA fires once in a 5-step run
+    cfg.train.vis_steps = 3        # train-phase mesh vis fires once too
     # fixed dp=2 under the 8-virtual-device CPU env so the flattened batch
     # (batch_size*K = 4) divides the data axis; the shipped config keeps
     # [-1, 1] so single-device smoke runs work
@@ -189,3 +190,7 @@ def test_train_checkpoint_resume_val(workspace):
     assert pngs, "val must export {name}_sr.png"
     assert list((out_dir / "results").rglob("*_inf.png"))
     assert list((out_dir / "results").rglob("*_lr.png"))
+    # train-phase vis cadence (reference lib/trainer_temp.py:360-400):
+    # train_images/{epoch}_{step}/train_3d.jpg written at vis_steps=3
+    vis = list((out_dir / "train_images").rglob("train_3d.jpg"))
+    assert vis, "train vis cadence must write train_3d.jpg"
