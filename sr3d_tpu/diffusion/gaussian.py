@@ -415,10 +415,16 @@ def dpmpp_sample_loop(
         e_neg_h = (alpha_c * sigma_p) / (alpha_p * sigma_c)
         lam_c = jnp.log(alpha_c / sigma_c)
 
-        # 2M correction: D̃ = D + (D - D_prev)/(2 r),  r = h_prev/h
-        h = -jnp.log(jnp.maximum(e_neg_h, 1e-38))   # λ_target − λ_c > 0
+        # 2M correction: D̃ = D + (D - D_prev)/(2 r),  r = h_prev/h.
+        # h is clamped away from 0: duplicate taus (num_steps ≈ T after
+        # rounding) make the update a no-op via the (1 − e^{-h}) factor, but
+        # an unclamped 1/h would turn that 0·∞ into NaN
+        h = jnp.maximum(-jnp.log(jnp.maximum(e_neg_h, 1e-38)), 1e-12)
         h_prev = lam_c - lam_prev
-        r = h_prev / h
+        # r likewise clamped: h_prev = 0 (duplicate previous tau) makes
+        # d == d_prev bit-identically, so the correction term is 0·(1/2r)
+        # — finite only if r stays finite
+        r = jnp.maximum(h_prev / h, 1e-6)
         d_tilde = d + (d - d_prev) / (2.0 * r)
         use_2nd = have_prev & (t_prev >= 0)
         d_eff = jnp.where(use_2nd, d_tilde, d)

@@ -475,7 +475,9 @@ class Trainer:
                 self.modules, jnp.asarray(sub["flame_shape"], jnp.float32))
             rows.append(np.asarray(render_meshes(
                 gt_verts, self.modules.flame.faces, image_size=256)))
-        imgs = np.clip(np.asarray(out["img224"]) * 0.5 + 0.5, 0.0, 1.0)
+        # img224 is already [0,1] (sr_to_mica_inputs), like the reference's
+        # opdict['images'] clip
+        imgs = np.clip(np.asarray(out["img224"]), 0.0, 1.0)
         rows.append(np.stack([
             np.asarray(jax.image.resize(jnp.asarray(im), (256, 256, 3),
                                         "bilinear")) for im in imgs]))
