@@ -154,6 +154,7 @@ class MicaTrainer:
         self._step = jax.jit(make_mica_train_step(self.opt),
                              donate_argnums=1)
         self.global_step = 0
+        self.epoch = 0
 
         from .trainer import BestModel
         self.best_model = BestModel(int(cfg.mica.running_average),
@@ -203,10 +204,45 @@ class MicaTrainer:
             return {}
         return self.validator.run(self.state)
 
+    def visualize_train(self, batch, n_show: int = 4) -> None:
+        """Train-phase vis (reference micalib/trainer.py:231-268): predicted
+        canonical meshes, GT FLAME meshes, and the (de-BGR'd) network input
+        blobs tiled into ``train_images/train_{epoch}.jpg``."""
+        import numpy as np
+
+        from ..eval.renderer import render_meshes, visualize_grid
+        from ..ops.image import bgr_swap
+
+        blobs = jnp.asarray(batch["arcface"][:n_show], jnp.float32)
+        verts, _, _ = make_mica_predict()(self.modules, self.state, blobs)
+        rows = [np.asarray(render_meshes(verts, self.modules.flame.faces,
+                                         image_size=256))]
+        if "flame_shape" in batch:
+            gt = gt_flame_vertices(
+                self.modules,
+                jnp.asarray(batch["flame_shape"][:n_show], jnp.float32))
+            rows.append(np.asarray(render_meshes(
+                gt, self.modules.flame.faces, image_size=256)))
+        imgs = np.clip((np.asarray(bgr_swap(blobs)) + 1.0) / 2.0, 0.0, 1.0)
+        rows.append(np.stack([
+            np.asarray(jax.image.resize(jnp.asarray(im), (256, 256, 3),
+                                        "bilinear")) for im in imgs]))
+        dst = self.output_dir / "train_images"
+        dst.mkdir(parents=True, exist_ok=True)
+        visualize_grid(np.concatenate(rows),
+                       path=str(dst / f"train_{self.epoch}.jpg"),
+                       ncol=rows[0].shape[0])
+
     def fit(self, loader, max_steps: int | None = None,
             val_steps: int | None = None,
             checkpoint_steps: int | None = None,
-            log_steps: int | None = None) -> None:
+            log_steps: int | None = None,
+            vis_steps: int | None = None,
+            snapshot_steps: int | None = None,
+            eval_hook=None, eval_steps: int | None = None) -> None:
+        """``eval_hook(state)``, when given, runs at the
+        ``cfg.mica.train.eval_steps`` cadence (the reference's
+        ``evaluation_step`` → NoW Tester, micalib/trainer.py:276-277)."""
         import numpy as np
 
         cfg = self.cfg
@@ -220,6 +256,14 @@ class MicaTrainer:
             checkpoint_steps = int(cfg.mica.train.checkpoint_steps)
         if log_steps is None:
             log_steps = int(cfg.mica.train.log_steps)
+        if vis_steps is None:
+            vis_steps = int(cfg.mica.train.vis_steps)
+        if snapshot_steps is None:
+            # reference checkpoint_epochs_steps → model_{step}.tar snapshots
+            snapshot_steps = int(
+                cfg.mica.train.get("checkpoint_epochs_steps", 0))
+        if eval_steps is None:
+            eval_steps = int(cfg.mica.train.eval_steps)
 
         # auto-resume from model_mica.npz (reference micalib
         # Trainer.__init__ → load_checkpoint, trainer.py:60-77) — without
@@ -229,6 +273,7 @@ class MicaTrainer:
             self.load_checkpoint()
 
         rng = jax.random.PRNGKey(int(cfg.seed) + 13)
+        steps_per_epoch = max(1, len(loader))
         it = iter(loader)
         while self.global_step < max_steps:
             raw = next(it)
@@ -242,12 +287,30 @@ class MicaTrainer:
             self.state, metrics = self._step(self.modules, self.state,
                                              batch, k)
             self.global_step += 1
+            if self.global_step % steps_per_epoch == 0:
+                self.epoch += 1
             if log_steps and self.global_step % log_steps == 0:
                 self.logger.info("mica step %d | loss %.4f",
                                  self.global_step,
                                  float(metrics["loss"]))
+            if vis_steps and self.global_step % vis_steps == 0:
+                try:
+                    self.visualize_train(batch)
+                except Exception:
+                    self.logger.exception("mica train vis failed")
             if val_steps and self.global_step % val_steps == 0:
                 self.validation_step()
+            if eval_hook is not None and eval_steps and \
+                    self.global_step % eval_steps == 0:
+                eval_hook(self.state)
             if checkpoint_steps and self.global_step % checkpoint_steps == 0:
                 self.save_checkpoint()
+            if snapshot_steps and self.global_step % snapshot_steps == 0:
+                # step-named snapshot (reference model_{step}.tar)
+                from .checkpoint import save_state_npz
+
+                save_state_npz(
+                    self.output_dir / f"model_mica_{self.global_step}.npz",
+                    jax.device_get(self.state),
+                    {"global_step": self.global_step})
         self.save_checkpoint()

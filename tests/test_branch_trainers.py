@@ -360,11 +360,18 @@ def test_mica_trainer_fit_val_resume(mica_setup, tmp_path):
     tr = MicaTrainer(cfg, modules, validator=validator,
                      output_dir=tmp_path / "mica")
     assert validator.best_model is tr.best_model  # auto-wired
+    hook_steps = []
     tr.fit(loader, max_steps=4, val_steps=2, checkpoint_steps=2,
-           log_steps=2)
+           log_steps=2, vis_steps=3, snapshot_steps=4,
+           eval_hook=lambda s: hook_steps.append(tr.global_step),
+           eval_steps=2)
     assert tr.global_step == 4
     assert (tmp_path / "mica" / "model_mica.npz").exists()
     assert tr.best_model.counter is not None  # val cadence fed the tracker
+    # new reference cadences: train vis, step-named snapshot, eval hook
+    assert list((tmp_path / "mica" / "train_images").glob("train_*.jpg"))
+    assert (tmp_path / "mica" / "model_mica_4.npz").exists()
+    assert hook_steps == [2, 4]
 
     tr2 = MicaTrainer(cfg, modules, output_dir=tmp_path / "mica")
     assert tr2.load_checkpoint()
