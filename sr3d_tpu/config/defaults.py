@@ -171,7 +171,12 @@ def get_cfg_defaults() -> ConfigNode:
             vis_steps=200,
             write_summary=True,
             checkpoint_steps=1000,
-            checkpoint_epochs_steps=2,
+            # step-named model_mica_{step}.npz snapshots.  DELIBERATE
+            # divergence: the reference default is 2 (micalib writes a full
+            # snapshot every 2 steps — a disk-filling footgun its experiment
+            # YAMLs all override to 1000–10000); we default to the YAMLs'
+            # upper value
+            checkpoint_epochs_steps=10000,
             val_steps=1000,
             val_vis_dir="val_images_mica",
             eval_steps=5000,

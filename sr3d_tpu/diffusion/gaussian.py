@@ -292,6 +292,37 @@ def p_losses_discrete(
 # DDIM sampling (new capability — the reference only has ancestral DDPM)
 # --------------------------------------------------------------------------
 
+def _strided_taus(T: int, num_steps: int) -> jax.Array:
+    """Strided timestep subsequence τ_0 < ... < τ_{S-1}, τ last = T-1."""
+    return jnp.linspace(0, T - 1, num_steps).round().astype(jnp.int32)
+
+
+def _make_x0_eps_pred(denoise_apply, sched, condition, clip_denoised,
+                      time_input):
+    """Shared fast-sampler inner block: one UNet eval at timestep ``t`` →
+    ``(x0, eps)``.  Both DDIM and DPM-Solver++ build their updates from
+    this identical (time-embed, concat-condition, eps→x0, clip) sequence —
+    keep it in one place so a change to the time-input convention or the
+    clipping applies to every strided sampler at once."""
+
+    def x0_eps(img, t):
+        b = img.shape[0]
+        if time_input == "gamma":
+            time = jnp.full((b, 1), sched.sqrt_alphas_cumprod_prev[t + 1],
+                            dtype=img.dtype)
+        else:
+            time = jnp.full((b,), t, dtype=jnp.int32)
+        net_in = (img if condition is None
+                  else jnp.concatenate([condition, img], -1))
+        eps = denoise_apply(net_in, time).astype(jnp.float32)
+        x0 = predict_start_from_noise(sched, img, t, eps)
+        if clip_denoised:
+            x0 = jnp.clip(x0, -1.0, 1.0)
+        return x0, eps
+
+    return x0_eps
+
+
 def ddim_sample_loop(
     denoise_apply: DenoiseFn,
     sched: DiffusionSchedule,
@@ -315,8 +346,9 @@ def ddim_sample_loop(
     T = sched.num_timesteps
     num_steps = min(num_steps, T)
     condition = x_in if conditional else None
-    # strided subsequence τ_0 < ... < τ_{S-1}, τ last = T-1
-    taus = jnp.linspace(0, T - 1, num_steps).round().astype(jnp.int32)
+    taus = _strided_taus(T, num_steps)
+    x0_eps = _make_x0_eps_pred(denoise_apply, sched, condition,
+                               clip_denoised, time_input)
 
     k_init, k_loop = jax.random.split(rng)
     img0 = jax.random.normal(k_init, x_in.shape, jnp.float32)
@@ -325,18 +357,7 @@ def ddim_sample_loop(
         # reverse order: i = S-1 .. 0 maps to t = taus[i], t_prev = taus[i-1]
         t = taus[i]
         t_prev = jnp.where(i > 0, taus[jnp.maximum(i - 1, 0)], -1)
-        b = img.shape[0]
-        if time_input == "gamma":
-            time = jnp.full((b, 1), sched.sqrt_alphas_cumprod_prev[t + 1],
-                            dtype=img.dtype)
-        else:
-            time = jnp.full((b,), t, dtype=jnp.int32)
-        net_in = (img if condition is None
-                  else jnp.concatenate([condition, img], -1))
-        eps = denoise_apply(net_in, time).astype(jnp.float32)
-        x0 = predict_start_from_noise(sched, img, t, eps)
-        if clip_denoised:
-            x0 = jnp.clip(x0, -1.0, 1.0)
+        x0, eps = x0_eps(img, t)
 
         a_t = sched.alphas_cumprod[t]
         a_prev = jnp.where(t_prev >= 0,
@@ -378,32 +399,19 @@ def dpmpp_sample_loop(
     T = sched.num_timesteps
     num_steps = min(num_steps, T)
     condition = x_in if conditional else None
-    taus = jnp.linspace(0, T - 1, num_steps).round().astype(jnp.int32)
+    taus = _strided_taus(T, num_steps)
+    x0_eps = _make_x0_eps_pred(denoise_apply, sched, condition,
+                               clip_denoised, time_input)
 
     k_init, _ = jax.random.split(rng)
     img0 = jax.random.normal(k_init, x_in.shape, jnp.float32)
-
-    def x0_pred(img, t):
-        b = img.shape[0]
-        if time_input == "gamma":
-            time = jnp.full((b, 1), sched.sqrt_alphas_cumprod_prev[t + 1],
-                            dtype=img.dtype)
-        else:
-            time = jnp.full((b,), t, dtype=jnp.int32)
-        net_in = (img if condition is None
-                  else jnp.concatenate([condition, img], -1))
-        eps = denoise_apply(net_in, time).astype(jnp.float32)
-        x0 = predict_start_from_noise(sched, img, t, eps)
-        if clip_denoised:
-            x0 = jnp.clip(x0, -1.0, 1.0)
-        return x0
 
     def step(carry, i):
         img, d_prev, lam_prev, have_prev = carry
         t = taus[i]
         t_prev = jnp.where(i > 0, taus[jnp.maximum(i - 1, 0)], -1)
 
-        d = x0_pred(img, t)
+        d, _ = x0_eps(img, t)
 
         a_c = sched.alphas_cumprod[t]
         a_p = jnp.where(t_prev >= 0,

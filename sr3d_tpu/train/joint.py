@@ -294,7 +294,8 @@ def gt_flame_vertices(modules: JointModules, shape_params):
 # --------------------------------------------------------------------------
 
 def make_train_step(opt: optax.GradientTransformation,
-                    ema_cfg: dict | None = None):
+                    ema_cfg: dict | None = None,
+                    with_vis: bool = False):
     """Returns jittable ``train_step(modules, state, batch, rng) ->
     (state, metrics)``.  ``modules`` is a traced pytree argument — do NOT
     close it into the jit (see JointModules docstring).
@@ -302,6 +303,12 @@ def make_train_step(opt: optax.GradientTransformation,
     batch (flattened K×B like reference preprocess_sr_data
     model/sr3d/model.py:172-188): ``HR/SR [N,h,h,3]`` in [-1,1],
     ``flame_shape [N,n_shape]``.
+
+    ``with_vis=True`` adds ``metrics["vis"] = {verts, gt_verts, img224}``
+    from the SAME training forward — the reference visualizes the train
+    opdict (lib/trainer_temp.py:360-400) rather than re-sampling, and these
+    are already computed for the loss, so exposing them costs only the
+    output buffers (never fetched to host except at the vis cadence).
     """
 
     def loss_fn(modules, params, arcface_stats, batch, rng):
@@ -332,7 +339,7 @@ def make_train_step(opt: optax.GradientTransformation,
             # reference-literal model3: continuous tensor blob, detached
             # (create_tensor_blob + .detach(), model/sr3d/model.py:483-490)
             final = jax.lax.stop_gradient(final)
-        _, blob = sr_to_mica_inputs(
+        img224, blob = sr_to_mica_inputs(
             final, image_size=modules.image_size,
             blob_size=modules.blob_size,
             differentiable=(modules.variant == "model3"))
@@ -347,6 +354,10 @@ def make_train_step(opt: optax.GradientTransformation,
         total = l_sr + l_mica
         aux = {"l_sr": l_sr, "l_mica": l_mica, "loss": total,
                "new_stats": new_stats}
+        if with_vis:
+            aux["vis"] = jax.lax.stop_gradient(
+                {"verts": pred_verts, "gt_verts": gt_verts,
+                 "img224": img224})
         return total, aux
 
     def train_step(modules: JointModules, state: JointTrainState, batch,
@@ -364,6 +375,8 @@ def make_train_step(opt: optax.GradientTransformation,
                 step_start_ema=int(ema_cfg["step_start_ema"]),
                 update_every=int(ema_cfg["update_ema_every"]))
         metrics = {k: aux[k] for k in ("l_sr", "l_mica", "loss")}
+        if with_vis:
+            metrics["vis"] = aux["vis"]
         return JointTrainState(
             step=state.step + 1,
             params=new_params,

@@ -170,14 +170,16 @@ class MicaTrainer:
 
         save_state_npz(self.output_dir / "best_models" / f"{tag}.npz",
                        jax.device_get(self.state),
-                       {"global_step": self.global_step})
+                       {"epoch": self.epoch,
+                        "global_step": self.global_step})
 
     def save_checkpoint(self) -> None:
         from .checkpoint import save_state_npz
 
         save_state_npz(self.output_dir / "model_mica.npz",
                        jax.device_get(self.state),
-                       {"global_step": self.global_step})
+                       {"epoch": self.epoch,
+                        "global_step": self.global_step})
 
     def load_checkpoint(self) -> bool:
         from .checkpoint import load_state_npz
@@ -185,7 +187,16 @@ class MicaTrainer:
         path = self.output_dir / "model_mica.npz"
         if not path.exists():
             return False
-        restored = load_state_npz(path, self.state, {"global_step": 0})
+        try:
+            restored = load_state_npz(path, self.state,
+                                      {"epoch": 0, "global_step": 0})
+            self.epoch = int(restored["meta"]["epoch"])
+        except ValueError:
+            # pre-epoch checkpoint layout (meta held global_step only):
+            # fit() re-derives the epoch from steps_per_epoch so resumed
+            # train-vis images don't restart at train_0.jpg and clobber
+            restored = load_state_npz(path, self.state, {"global_step": 0})
+            self.epoch = -1
         self.state = restored["state"]
         self.global_step = int(restored["meta"]["global_step"])
         self.logger.info("mica resume @ step %d", self.global_step)
@@ -273,7 +284,16 @@ class MicaTrainer:
             self.load_checkpoint()
 
         rng = jax.random.PRNGKey(int(cfg.seed) + 13)
-        steps_per_epoch = max(1, len(loader))
+        try:
+            steps_per_epoch = max(1, len(loader))
+        except TypeError:
+            # unsized iterable (generator / itertools.cycle): keep the
+            # iterator-friendly API, just disable epoch tracking
+            steps_per_epoch = 0
+        if self.epoch < 0:
+            # resumed from a pre-epoch checkpoint: re-derive
+            self.epoch = (self.global_step // steps_per_epoch
+                          if steps_per_epoch else 0)
         it = iter(loader)
         while self.global_step < max_steps:
             raw = next(it)
@@ -287,7 +307,7 @@ class MicaTrainer:
             self.state, metrics = self._step(self.modules, self.state,
                                              batch, k)
             self.global_step += 1
-            if self.global_step % steps_per_epoch == 0:
+            if steps_per_epoch and self.global_step % steps_per_epoch == 0:
                 self.epoch += 1
             if log_steps and self.global_step % log_steps == 0:
                 self.logger.info("mica step %d | loss %.4f",

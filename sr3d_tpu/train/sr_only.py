@@ -10,6 +10,7 @@ jitted sampler.
 
 from __future__ import annotations
 
+import logging
 from typing import Any, NamedTuple
 
 import jax
@@ -45,7 +46,10 @@ class SRModel:
         self.loss_type = str(cfg.sr.model.diffusion.get("loss", "l1"))
         self.conditional = bool(cfg.sr.model.diffusion.get("conditional",
                                                            True))
-        self.hr_res = int(cfg.sr.model.diffusion.image_size)
+        # param-init shape: the data HR resolution (diffusion.image_size is
+        # the UNet attention-topology knob, not the data size — the
+        # reference experiment YAMLs set it to 224 over 128px data)
+        self.hr_res = int(cfg.sr.datasets.train.r_resolution)
         self.sample_remat = bool(cfg.tpu.sample_remat)
 
         lr = float(cfg.sr.train.optimizer.lr)
@@ -193,6 +197,17 @@ class SRModel:
                      sampler: str | None = None):
         sampler = sampler or str(
             self.cfg.sr.model.diffusion.get("sampler", "ddpm"))
+        if sampler not in ("ddpm", "ddim", "dpm++"):
+            # a typo ('dpmpp', 'DPM++') must not silently fall back to the
+            # ~80x slower full ancestral loop
+            raise ValueError(
+                f"unknown sampler {sampler!r}; expected ddpm | ddim | dpm++")
+        if continuous and sampler != "ddpm":
+            # intermediate-trajectory output exists only on the ancestral
+            # loop (reference continuous-sampling path)
+            logging.getLogger("sr3d_tpu").warning(
+                "sampler=%s does not support continuous trajectories; "
+                "falling back to the ancestral ddpm loop", sampler)
 
         def sample(state: SRTrainState, cond, rng):
             params = (state.ema.params

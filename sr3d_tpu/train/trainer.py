@@ -28,7 +28,6 @@ from .checkpoint import CheckpointManager, save_state_npz
 from .joint import (
     JointModules,
     build_joint,
-    gt_flame_vertices,
     init_train_state,
     make_eval_step,
     make_optimizer,
@@ -145,6 +144,16 @@ class Trainer:
 
         ema_cfg = (cfg.sr.train.ema_scheduler.to_dict()
                    if cfg.sr.train.ema_scheduler else None)
+        accum = int(cfg.tpu.get("grad_accum", 1))
+        if ema_cfg is not None and accum > 1:
+            # state.step counts micro-steps but MultiSteps only applies an
+            # update every `accum` of them; scale the EMA cadences so the
+            # effective horizon (in real optimizer updates) matches the
+            # big-batch run instead of shrinking ~accum-fold
+            ema_cfg = dict(
+                ema_cfg,
+                update_ema_every=int(ema_cfg["update_ema_every"]) * accum,
+                step_start_ema=int(ema_cfg["step_start_ema"]) * accum)
         # Mesh-parallel train step: state TP-sharded (replicated when the
         # model axis is 1), batch DP-sharded over the data axis, modules/rng
         # replicated.  XLA inserts the psum gradient reduction for the
@@ -160,11 +169,22 @@ class Trainer:
             min_channels=int(cfg.tpu.get("tp_min_channels", 128)))
         self.state = jax.device_put(self.state, self._state_shardings)
         self.modules = jax.device_put(self.modules, self._repl)
+        # vis tensors ride the train step's own forward (reference visualizes
+        # the train opdict, lib/trainer_temp.py:360-400) — batch-sharded
+        # outputs, so no per-step all-gather; host fetch only at the cadence
+        vis_on = int(cfg.train.get("vis_steps", 0)) > 0
+        metrics_shardings = self._repl
+        if vis_on:
+            metrics_shardings = {
+                "l_sr": self._repl, "l_mica": self._repl, "loss": self._repl,
+                "vis": {"verts": self._batch_sharding,
+                        "gt_verts": self._batch_sharding,
+                        "img224": self._batch_sharding}}
         self._train_step = jax.jit(
-            make_train_step(self.opt, ema_cfg),
+            make_train_step(self.opt, ema_cfg, with_vis=vis_on),
             in_shardings=(self._repl, self._state_shardings,
                           self._batch_sharding, self._repl),
-            out_shardings=(self._state_shardings, self._repl),
+            out_shardings=(self._state_shardings, metrics_shardings),
             donate_argnums=1)
         self._val_step = jax.jit(make_val_step())
 
@@ -420,6 +440,7 @@ class Trainer:
             jit_batch = next(it)
             self.state, metrics = self._train_step(
                 self.modules, self.state, jit_batch, self._next_rng())
+            vis = metrics.pop("vis", None)
             self.global_step += 1
             if self.global_step % steps_per_epoch == 0:
                 self.epoch += 1  # reference current_epoch per loader pass
@@ -439,9 +460,10 @@ class Trainer:
                                                 prefix="train/")
                 self.metrics_writer.add_scalar(
                     "train/sec_per_it", dt / log_steps, self.global_step)
-            if vis_steps and self.global_step % vis_steps == 0:
+            if vis is not None and vis_steps \
+                    and self.global_step % vis_steps == 0:
                 try:
-                    self.visualize_train(jit_batch)
+                    self.visualize_train(vis)
                 except Exception:
                     logger.exception("train visualization failed")
             if ckpt_steps and self.global_step % ckpt_steps == 0:
@@ -453,31 +475,28 @@ class Trainer:
         self.save_checkpoint()
         self.ckpt.wait()  # drain async orbax writes before returning
 
-    def visualize_train(self, jit_batch, n_show: int = 4) -> None:
+    def visualize_train(self, vis, n_show: int = 4) -> None:
         """Train-phase mesh visualization at the ``train.vis_steps`` cadence
         (reference lib/trainer_temp.py:360-400): up to ``n_show`` samples'
         predicted canonical meshes next to their GT FLAME meshes and the
-        network-input images, tiled into
+        network-input images — all taken from the train step's OWN forward
+        (``metrics["vis"]``, like the reference's ``opdict``; no re-sampling,
+        no extra compile) — tiled into
         ``train_images/{epoch}_{step}/train_3d.jpg`` + a TB/JSONL image."""
         from ..eval.renderer import render_meshes, visualize_grid
 
-        # host slice of the (possibly DP-sharded) batch; cadence-rate only
-        sub = {k: np.asarray(jax.device_get(v))[:n_show]
-               for k, v in jit_batch.items()}
-        out = self._val_step(
-            self.modules, self.state,
-            {"SR": jnp.asarray(sub["SR"], jnp.float32)}, self._next_rng())
-        pred = np.asarray(render_meshes(out["verts"], self.modules.flame.faces,
+        # host fetch of the (possibly DP-sharded) vis outputs; cadence-rate
+        verts = np.asarray(jax.device_get(vis["verts"]))[:n_show]
+        gt_verts = np.asarray(jax.device_get(vis["gt_verts"]))[:n_show]
+        pred = np.asarray(render_meshes(verts, self.modules.flame.faces,
                                         image_size=256))
-        rows = [pred]
-        if "flame_shape" in sub:
-            gt_verts = gt_flame_vertices(
-                self.modules, jnp.asarray(sub["flame_shape"], jnp.float32))
-            rows.append(np.asarray(render_meshes(
-                gt_verts, self.modules.flame.faces, image_size=256)))
+        rows = [pred,
+                np.asarray(render_meshes(gt_verts, self.modules.flame.faces,
+                                         image_size=256))]
         # img224 is already [0,1] (sr_to_mica_inputs), like the reference's
         # opdict['images'] clip
-        imgs = np.clip(np.asarray(out["img224"]), 0.0, 1.0)
+        imgs = np.clip(np.asarray(jax.device_get(vis["img224"]))[:n_show],
+                       0.0, 1.0)
         rows.append(np.stack([
             np.asarray(jax.image.resize(jnp.asarray(im), (256, 256, 3),
                                         "bilinear")) for im in imgs]))

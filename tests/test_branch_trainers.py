@@ -20,6 +20,9 @@ def tiny_cfg():
     cfg.sr.model.unet.res_blocks = 1
     cfg.sr.model.unet.dropout = 0.0
     cfg.sr.model.diffusion.image_size = 16
+    for split in ("train", "val"):
+        cfg.sr.datasets[split].l_resolution = 8
+        cfg.sr.datasets[split].r_resolution = 16
     for ph in ("train", "val"):
         cfg.sr.model.beta_schedule[ph].n_timestep = 8
     cfg.mica.model.n_shape = 16

@@ -123,7 +123,8 @@ def test_trainer_dp_tp_matches_single_device(workspace, tmp_path):
 
         def recording_step(*args):
             state, metrics = orig(*args)
-            losses.append({k: float(v) for k, v in metrics.items()})
+            losses.append({k: float(v) for k, v in metrics.items()
+                           if k != "vis"})
             return state, metrics
 
         trainer._train_step = recording_step
