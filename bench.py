@@ -51,10 +51,15 @@ def main():
     from sr3d_tpu.diffusion.schedules import make_schedule
     from sr3d_tpu.models.sr3_unet import SR3UNet
 
+    # image_size=224 mirrors the reference experiment YAMLs' EFFECTIVE
+    # topology: diffusion.image_size (224) — not the data resolution — seeds
+    # the UNet's attention gate (now_res: 224→112→56→28→14 never hits
+    # attn_res=[16], reference model/sr/sr3_modules/unet.py:192), so the
+    # trained reference model has attention only in the mid block.
     unet = SR3UNet(in_channel=6, out_channel=3, inner_channel=64,
                    norm_groups=32, channel_mults=(1, 2, 4, 8, 8),
                    attn_res=(16,), res_blocks=2, dropout=0.0,
-                   image_size=HR, dtype=jnp.bfloat16)
+                   image_size=224, dtype=jnp.bfloat16)
     sched = make_schedule("linear", N_TIMESTEP, 1e-6, 1e-2)
 
     key = jax.random.PRNGKey(0)

@@ -54,7 +54,10 @@ class Predictor:
         semantics)."""
         self.cfg = cfg
         self.batch_size = int(batch_size)
-        self.hr = int(cfg.sr.model.diffusion.image_size)
+        # the SR output resolution is the dataset's r_resolution, NOT
+        # diffusion.image_size — the reference YAMLs set the latter to 224
+        # (it only gates the UNet's attention topology, unet.py:192)
+        self.hr = int(cfg.sr.datasets.val.r_resolution)
         self.lr = int(cfg.sr.datasets.val.l_resolution)
         step_fn = make_val_step(use_ema=use_ema)
         if mesh is None:
@@ -102,7 +105,7 @@ class Predictor:
         modules = build_joint(cfg)
         state = init_train_state(
             modules, cfg, jax.random.PRNGKey(int(cfg.seed)),
-            int(cfg.sr.model.diffusion.image_size))
+            int(cfg.sr.datasets.val.r_resolution))
         if checkpoint and str(checkpoint).endswith(".npz"):
             try:
                 state = load_state_npz(checkpoint, state,
