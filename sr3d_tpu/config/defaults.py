@@ -143,7 +143,7 @@ def get_cfg_defaults() -> ConfigNode:
             flame_lmk_embedding_path="data/FLAME2020/landmark_embedding.npy",
             masks_path="data/FLAME2020/FLAME_masks.pkl",
             n_shape=300,
-            n_exp=100,
+            n_exp=50,
             layers=8,
             hidden_layers_size=256,
             mapping_layers=3,

@@ -201,3 +201,61 @@ class Predictor:
                               res["identity"][i], res["lmk68"][i])
             save_img(res["sr_u8"][i], str(dst / f"{names[i]}_sr.png"))
         return n
+
+
+def main(argv=None) -> int:
+    """Batch-serving CLI: a directory of LR face images → per-face bundles
+    (mesh.ply/obj, kpt7/kpt68/identity npys, SR png).
+
+    ``python -m sr3d_tpu.serve -c <cfg.yml> [-ckt best_model.npz]
+    --input <lr_dir> --out <dst> [--sampler dpm++] [--steps 25]
+    [--batch 8] [--ema]``
+
+    New capability; the reference's closest path is ``main_temp.py -p val``
+    (which needs the full trainer + paired val dataset).  ``--sampler``/
+    ``--steps`` override ``sr.model.diffusion.{sampler,ddim_steps}`` — see
+    PERF.md "serving latency" for the measured latency of each choice.
+    """
+    import argparse
+    import time
+
+    from .config.defaults import get_cfg_defaults, update_cfg
+    from .data.lrhr import get_paths_from_images, load_image_m11
+
+    ap = argparse.ArgumentParser(description="sr3d_tpu batch serving")
+    ap.add_argument("-c", "--cfg", default=None)
+    ap.add_argument("-ckt", "--checkpoint", default=None)
+    ap.add_argument("--input", required=True, help="directory of LR images")
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--sampler", default=None,
+                    choices=["ddpm", "ddim", "dpm++"])
+    ap.add_argument("--steps", type=int, default=None,
+                    help="strided sampler step count (ddim/dpm++)")
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--ema", action="store_true")
+    args = ap.parse_args(argv)
+
+    cfg = get_cfg_defaults()
+    if args.cfg:
+        cfg = update_cfg(cfg, args.cfg)
+    if args.sampler:
+        cfg.sr.model.diffusion.sampler = args.sampler
+    if args.steps:
+        cfg.sr.model.diffusion.ddim_steps = args.steps
+
+    paths = get_paths_from_images(args.input)
+    imgs = np.stack([load_image_m11(p) for p in paths])
+    predictor = Predictor.from_config(cfg, checkpoint=args.checkpoint,
+                                      batch_size=int(args.batch),
+                                      use_ema=bool(args.ema))
+    t0 = time.perf_counter()
+    n = predictor.export(imgs, args.out,
+                         names=[Path(p).stem for p in paths])
+    dt = time.perf_counter() - t0
+    print(f"served {n} faces -> {args.out} in {dt:.1f}s "
+          f"({n / max(dt, 1e-9):.2f} faces/s incl. export)")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

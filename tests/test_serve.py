@@ -140,3 +140,35 @@ def test_predictor_bad_checkpoint_raises(predictor_setup):
     cfg, _, _ = predictor_setup
     with pytest.raises(FileNotFoundError):
         Predictor.from_config(cfg, checkpoint="/nope/dir")
+
+
+def test_serve_cli(predictor_setup, tmp_path):
+    """`python -m sr3d_tpu.serve` on a directory of LR pngs writes the full
+    per-face bundle and honors --sampler/--steps overrides."""
+    from PIL import Image
+
+    from sr3d_tpu.serve import main
+
+    cfg, _, ckpt = predictor_setup
+    lr_dir = tmp_path / "lr"
+    lr_dir.mkdir()
+    rng = np.random.RandomState(3)
+    for name in ("face_a", "face_b", "face_c"):
+        Image.fromarray(rng.randint(0, 255, (8, 8, 3), np.uint8)).save(
+            lr_dir / f"{name}.png")
+    # cfg has no yaml file on disk: drive through a dumped config to also
+    # exercise the -c path
+    cfg_file = tmp_path / "cfg.yml"
+    cfg_file.write_text(cfg.dump())
+    out = tmp_path / "served"
+    rc = main(["-c", str(cfg_file), "-ckt", str(ckpt),
+               "--input", str(lr_dir), "--out", str(out),
+               "--sampler", "dpm++", "--steps", "4", "--batch", "2"])
+    assert rc == 0
+    for name in ("face_a", "face_b", "face_c"):
+        d = out / name
+        assert (d / "mesh.ply").exists() and (d / "mesh.obj").exists()
+        assert (d / f"{name}_sr.png").exists()
+        assert (d / "identity.npy").exists()
+    arr = np.asarray(Image.open(out / "face_a" / "face_a_sr.png"))
+    assert arr.shape == (16, 16, 3)
