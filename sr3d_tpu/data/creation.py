@@ -340,6 +340,37 @@ def arcface_blob_of(crop224_u8: np.ndarray, size: int = 112) -> np.ndarray:
     return blob.transpose(2, 0, 1)
 
 
+def simple_blob_tree(input_root: str, output_root: str, *,
+                     size: int = 224, blob_size: int = 112) -> int:
+    """Detector-free arcface prep (reference datasets/creation/main_new.py:
+    11-54): every image under ``input_root`` → bilinear ``size`` resize saved
+    alongside a CHW BGR ±1 ``blob_size`` blob ``.npy``, mirroring the
+    directory structure into ``output_root``.
+
+    Used when the images are already face-centred (e.g. the joint dataset's
+    own crops) so no detection/alignment is needed.  Deviation: the
+    reference ``np.save``s cv2's 4-D ``(1,3,112,112)`` blob verbatim; we
+    write the ``(3,112,112)`` layout every reader in this framework (and the
+    reference's ``datasets/base.py``) actually consumes."""
+    from PIL import Image
+
+    in_root, out_root = Path(input_root), Path(output_root)
+    n = 0
+    for p in sorted(in_root.rglob("*")):
+        if p.suffix.lower() not in IMG_EXTENSIONS:
+            continue
+        rel = p.relative_to(in_root)
+        dst_dir = out_root / rel.parent
+        dst_dir.mkdir(parents=True, exist_ok=True)
+        img = Image.open(p).convert("RGB").resize((size, size),
+                                                  Image.BILINEAR)
+        img.save(dst_dir / p.name)
+        np.save(dst_dir / f"{p.stem}.npy",
+                arcface_blob_of(np.asarray(img), blob_size))
+        n += 1
+    return n
+
+
 class CreationGenerator:
     """Walk Instances → write crops, blobs, and the actor-keyed index
     (reference Generator.run, creation/generator.py:50-98)."""
@@ -403,9 +434,14 @@ def main(argv=None):
     ap = argparse.ArgumentParser(
         description="Offline arcface-input dataset creation "
                     "(detect/align/blob/index)")
-    ap.add_argument("--raw-root", required=True,
+    ap.add_argument("--raw-root",
                     help="root holding <NAME>/images and "
                          "<NAME>/FLAME_parameters per source")
+    ap.add_argument("--simple", metavar="DIR",
+                    help="detector-free mode (reference creation/"
+                         "main_new.py): resize every image under DIR to 224 "
+                         "and write it + the 112 arcface blob .npy into "
+                         "--out-root/arcface_input, mirroring the tree")
     ap.add_argument("--out-root", required=True,
                     help="output root (writes <NAME>/arcface_input/ and "
                          "image_paths/<NAME>.npy)")
@@ -416,6 +452,14 @@ def main(argv=None):
                     help="rng seed for per-actor subsampling "
                          "(FLORENCE/PB4D; reference main.py:36 uses 42)")
     args = ap.parse_args(argv)
+
+    if args.simple:
+        n = simple_blob_tree(
+            args.simple, os.path.join(args.out_root, "arcface_input"))
+        print(f"simple: {n} images -> {args.out_root}/arcface_input")
+        return {"simple": n}
+    if not args.raw_root:
+        ap.error("--raw-root is required (or use --simple DIR)")
 
     instances = []
     for inst in standard_instances(args.raw_root):

@@ -266,3 +266,31 @@ def test_standard_instances_have_source_adapters():
     assert by_name["PB4D"].max_images_per_actor == 100
     assert by_name["FRGC"].mesh_scale == 10.0 and by_name["FRGC"].fix_obj
     assert by_name["STIRLING"].fix_mtl
+
+
+def test_creation_simple_mode(tmp_path):
+    """--simple (reference creation/main_new.py): detector-free 224 resize +
+    112 blob .npy mirroring the input tree."""
+    from PIL import Image
+
+    from sr3d_tpu.data.creation import main
+
+    src = tmp_path / "crops"
+    rng = np.random.RandomState(0)
+    for actor in ("a01", "a02"):
+        (src / actor).mkdir(parents=True)
+        for i in range(2):
+            Image.fromarray(rng.randint(0, 255, (64, 48, 3), np.uint8)).save(
+                src / actor / f"img_{i}.png")
+    out = tmp_path / "out"
+    counts = main(["--simple", str(src), "--out-root", str(out)])
+    assert counts == {"simple": 4}
+    for actor in ("a01", "a02"):
+        for i in range(2):
+            jpg = out / "arcface_input" / actor / f"img_{i}.png"
+            npy = out / "arcface_input" / actor / f"img_{i}.npy"
+            assert jpg.exists() and npy.exists()
+            assert np.asarray(Image.open(jpg)).shape == (224, 224, 3)
+            blob = np.load(npy)
+            assert blob.shape == (3, 112, 112)
+            assert blob.min() >= -1.0 and blob.max() <= 1.0
