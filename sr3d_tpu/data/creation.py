@@ -340,6 +340,25 @@ def arcface_blob_of(crop224_u8: np.ndarray, size: int = 112) -> np.ndarray:
     return blob.transpose(2, 0, 1)
 
 
+def flatten_index(index_npy: str, dataset_path: str, out_dir: str) -> int:
+    """Flatten an actor-keyed ``image_paths/<NAME>.npy`` index into one flat
+    directory of ``{actor}_{image}`` files (reference
+    datasets/tool/prepare_dataset_temp.py:17-28 — a hard-coded one-off
+    there; paths are flags here)."""
+    import shutil
+
+    data = np.load(index_npy, allow_pickle=True).item()
+    dst = Path(out_dir)
+    dst.mkdir(parents=True, exist_ok=True)
+    n = 0
+    for actor, (image_list, _) in data.items():
+        for rel in image_list:
+            src = Path(dataset_path) / rel
+            shutil.copy(src, dst / f"{actor}_{Path(rel).name}")
+            n += 1
+    return n
+
+
 def simple_blob_tree(input_root: str, output_root: str, *,
                      size: int = 224, blob_size: int = 112) -> int:
     """Detector-free arcface prep (reference datasets/creation/main_new.py:
@@ -442,6 +461,13 @@ def main(argv=None):
                          "main_new.py): resize every image under DIR to 224 "
                          "and write it + the 112 arcface blob .npy into "
                          "--out-root/arcface_input, mirroring the tree")
+    ap.add_argument("--flatten-index", metavar="NPY",
+                    help="flatten an image_paths/<NAME>.npy index into "
+                         "--out-root as {actor}_{image} files (reference "
+                         "tool/prepare_dataset_temp.py)")
+    ap.add_argument("--dataset-path", metavar="DIR",
+                    help="arcface_input root the --flatten-index entries "
+                         "are relative to")
     ap.add_argument("--out-root", required=True,
                     help="output root (writes <NAME>/arcface_input/ and "
                          "image_paths/<NAME>.npy)")
@@ -458,6 +484,13 @@ def main(argv=None):
             args.simple, os.path.join(args.out_root, "arcface_input"))
         print(f"simple: {n} images -> {args.out_root}/arcface_input")
         return {"simple": n}
+    if args.flatten_index:
+        if not args.dataset_path:
+            ap.error("--flatten-index requires --dataset-path")
+        n = flatten_index(args.flatten_index, args.dataset_path,
+                          args.out_root)
+        print(f"flattened {n} images -> {args.out_root}")
+        return {"flatten": n}
     if not args.raw_root:
         ap.error("--raw-root is required (or use --simple DIR)")
 

@@ -294,3 +294,32 @@ def test_creation_simple_mode(tmp_path):
             blob = np.load(npy)
             assert blob.shape == (3, 112, 112)
             assert blob.min() >= -1.0 and blob.max() <= 1.0
+
+
+def test_creation_flatten_index(tmp_path):
+    """--flatten-index (reference tool/prepare_dataset_temp.py): an
+    actor-keyed index flattens to {actor}_{image} files."""
+    from PIL import Image
+
+    from sr3d_tpu.data.creation import main
+
+    ds = tmp_path / "arcface_input"
+    idx = {}
+    rng = np.random.RandomState(0)
+    for actor in ("s1", "s2"):
+        (ds / "LYHM" / "arcface_input" / actor).mkdir(parents=True)
+        rels = []
+        for i in range(2):
+            rel = f"LYHM/arcface_input/{actor}/im{i}.jpg"
+            Image.fromarray(rng.randint(0, 255, (8, 8, 3), np.uint8)).save(
+                ds / rel)
+            rels.append(rel)
+        idx[actor] = (rels, "")
+    npy = tmp_path / "LYHM.npy"
+    np.save(npy, idx)
+    out = tmp_path / "flat"
+    counts = main(["--flatten-index", str(npy), "--dataset-path", str(ds),
+                   "--out-root", str(out)])
+    assert counts == {"flatten": 4}
+    assert sorted(p.name for p in out.iterdir()) == [
+        "s1_im0.jpg", "s1_im1.jpg", "s2_im0.jpg", "s2_im1.jpg"]
