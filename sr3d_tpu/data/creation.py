@@ -268,8 +268,12 @@ class BU3DFE(Instance):
 
 @dataclass
 class PB4D(Instance):
-    """pb4d.py: subsamples 100 images/actor; meshes ×0.01 → centred."""
-    name: str = "PB4D"
+    """pb4d.py: subsamples 100 images/actor; meshes ×0.01 → centred.
+    The dataset's on-disk name is **BP4D** (the reference class is a
+    transposition typo: pb4d.py:31-32 reads/writes ``/scratch/NFC/BP4D``,
+    and the shipped index is ``image_paths/BP4D.npy``) — both names
+    resolve to this adapter."""
+    name: str = "BP4D"
     max_images_per_actor: int = 100
     mesh_scale: float = 0.01
     mesh_scale_first: bool = True
@@ -284,7 +288,7 @@ class D3DFACS(Instance):
 _INSTANCE_TYPES = {
     "LYHM": LYHM, "LYHM_all": LYHM_all, "STIRLING": Stirling,
     "FRGC": FRGC, "FLORENCE": Florence, "FACEWAREHOUSE": FaceWarehouse,
-    "BU3DFE": BU3DFE, "PB4D": PB4D, "D3DFACS": D3DFACS,
+    "BU3DFE": BU3DFE, "BP4D": PB4D, "PB4D": PB4D, "D3DFACS": D3DFACS,
 }
 
 

@@ -96,8 +96,9 @@ def test_standard_instances_names():
     insts = standard_instances("/data/raw")
     names = {i.name for i in insts}
     # the reference's nine per-source adapters (datasets/creation/instances/)
+    # + the BP4D on-disk-name alias for the pb4d.py transposition typo
     assert names == {"LYHM", "LYHM_all", "STIRLING", "FRGC", "FLORENCE",
-                     "FACEWAREHOUSE", "BU3DFE", "PB4D", "D3DFACS"}
+                     "FACEWAREHOUSE", "BU3DFE", "BP4D", "PB4D", "D3DFACS"}
     assert all(i.use_pairs == i.name.startswith("LYHM") for i in insts)
 
 
