@@ -288,8 +288,11 @@ class D3DFACS(Instance):
 _INSTANCE_TYPES = {
     "LYHM": LYHM, "LYHM_all": LYHM_all, "STIRLING": Stirling,
     "FRGC": FRGC, "FLORENCE": Florence, "FACEWAREHOUSE": FaceWarehouse,
-    "BU3DFE": BU3DFE, "BP4D": PB4D, "PB4D": PB4D, "D3DFACS": D3DFACS,
+    "BU3DFE": BU3DFE, "BP4D": PB4D, "D3DFACS": D3DFACS,
 }
+# the reference class is PB4D (a transposition typo for the BP4D dataset,
+# pb4d.py:31-32); accept either spelling, process the source once
+_NAME_ALIASES = {"PB4D": "BP4D"}
 
 
 def standard_instances(raw_root: str) -> list[Instance]:
@@ -348,18 +351,23 @@ def flatten_index(index_npy: str, dataset_path: str, out_dir: str) -> int:
     """Flatten an actor-keyed ``image_paths/<NAME>.npy`` index into one flat
     directory of ``{actor}_{image}`` files (reference
     datasets/tool/prepare_dataset_temp.py:17-28 — a hard-coded one-off
-    there; paths are flags here)."""
+    there; paths are flags here).  Unlike the reference, same-basename
+    entries of one actor in different subdirs are disambiguated with the
+    full relative path instead of silently overwriting."""
     import shutil
 
     data = np.load(index_npy, allow_pickle=True).item()
     dst = Path(out_dir)
     dst.mkdir(parents=True, exist_ok=True)
+    entries = [(actor, rel) for actor, (image_list, _) in data.items()
+               for rel in image_list]
+    names = [f"{a}_{Path(r).name}" for a, r in entries]
     n = 0
-    for actor, (image_list, _) in data.items():
-        for rel in image_list:
-            src = Path(dataset_path) / rel
-            shutil.copy(src, dst / f"{actor}_{Path(rel).name}")
-            n += 1
+    for (actor, rel), name in zip(entries, names):
+        if names.count(name) > 1:
+            name = f"{actor}_" + "_".join(Path(rel).parts)
+        shutil.copy(Path(dataset_path) / rel, dst / name)
+        n += 1
     return n
 
 
@@ -379,11 +387,20 @@ def simple_blob_tree(input_root: str, output_root: str, *,
 
     in_root, out_root = Path(input_root), Path(output_root)
     n = 0
+    seen: set = set()
     for p in sorted(in_root.rglob("*")):
         if p.suffix.lower() not in IMG_EXTENSIONS:
             continue
         rel = p.relative_to(in_root)
         dst_dir = out_root / rel.parent
+        key = dst_dir / p.stem
+        if key in seen:
+            # x.jpg + x.png in one dir would write the same {stem}.npy —
+            # keep the first, never silently serve the wrong blob
+            logger.warning("simple: %s shares a blob stem with an earlier "
+                           "image; skipping", p)
+            continue
+        seen.add(key)
         dst_dir.mkdir(parents=True, exist_ok=True)
         img = Image.open(p).convert("RGB").resize((size, size),
                                                   Image.BILINEAR)
@@ -457,18 +474,20 @@ def main(argv=None):
     ap = argparse.ArgumentParser(
         description="Offline arcface-input dataset creation "
                     "(detect/align/blob/index)")
-    ap.add_argument("--raw-root",
-                    help="root holding <NAME>/images and "
-                         "<NAME>/FLAME_parameters per source")
-    ap.add_argument("--simple", metavar="DIR",
-                    help="detector-free mode (reference creation/"
-                         "main_new.py): resize every image under DIR to 224 "
-                         "and write it + the 112 arcface blob .npy into "
-                         "--out-root/arcface_input, mirroring the tree")
-    ap.add_argument("--flatten-index", metavar="NPY",
-                    help="flatten an image_paths/<NAME>.npy index into "
-                         "--out-root as {actor}_{image} files (reference "
-                         "tool/prepare_dataset_temp.py)")
+    mode = ap.add_mutually_exclusive_group(required=True)
+    mode.add_argument("--raw-root",
+                      help="root holding <NAME>/images and "
+                           "<NAME>/FLAME_parameters per source")
+    mode.add_argument("--simple", metavar="DIR",
+                      help="detector-free mode (reference creation/"
+                           "main_new.py): resize every image under DIR to "
+                           "224 and write it + the 112 arcface blob .npy "
+                           "into --out-root/arcface_input, mirroring the "
+                           "tree")
+    mode.add_argument("--flatten-index", metavar="NPY",
+                      help="flatten an image_paths/<NAME>.npy index into "
+                           "--out-root as {actor}_{image} files (reference "
+                           "tool/prepare_dataset_temp.py)")
     ap.add_argument("--dataset-path", metavar="DIR",
                     help="arcface_input root the --flatten-index entries "
                          "are relative to")
@@ -476,7 +495,8 @@ def main(argv=None):
                     help="output root (writes <NAME>/arcface_input/ and "
                          "image_paths/<NAME>.npy)")
     ap.add_argument("--datasets", nargs="+", default=sorted(_INSTANCE_TYPES),
-                    choices=sorted(_INSTANCE_TYPES), metavar="NAME",
+                    choices=sorted(_INSTANCE_TYPES) + sorted(_NAME_ALIASES),
+                    metavar="NAME",
                     help="subset of the nine sources (default: all)")
     ap.add_argument("--seed", type=int, default=42,
                     help="rng seed for per-actor subsampling "
@@ -495,12 +515,10 @@ def main(argv=None):
                           args.out_root)
         print(f"flattened {n} images -> {args.out_root}")
         return {"flatten": n}
-    if not args.raw_root:
-        ap.error("--raw-root is required (or use --simple DIR)")
-
+    wanted = {_NAME_ALIASES.get(n, n) for n in args.datasets}
     instances = []
     for inst in standard_instances(args.raw_root):
-        if inst.name not in set(args.datasets):
+        if inst.name not in wanted:
             continue
         if not os.path.isdir(inst.images_root):
             # absent sources are skipped, not indexed as empty

@@ -121,9 +121,13 @@ class Predictor:
             ckpt_dir = (Path(cfg.output_dir) / (cfg.get("name") or "default")
                         / cfg.path.checkpoint)
             mgr = CheckpointManager(ckpt_dir)
-            if mgr.latest_step() is not None:
-                state = mgr.restore(None, state,
-                                    {"global_step": 0, "epoch": 0})["state"]
+            if mgr.latest_step() is None:
+                # never silently serve randomly-initialised weights
+                raise FileNotFoundError(
+                    f"no checkpoint found under {ckpt_dir} — pass an "
+                    f"explicit .npz via `checkpoint=` or train first")
+            state = mgr.restore(None, state,
+                                {"global_step": 0, "epoch": 0})["state"]
         else:
             raise FileNotFoundError(f"checkpoint {checkpoint!r}: expected a "
                                     f".npz path or None for auto-resume")
@@ -244,13 +248,22 @@ def main(argv=None) -> int:
         cfg.sr.model.diffusion.ddim_steps = args.steps
 
     paths = get_paths_from_images(args.input)
+    # bundle names: file stems, disambiguated by their subdirectory when
+    # the recursive scan finds duplicate stems (a/face.png + b/face.png
+    # must not overwrite each other's bundle)
+    stems = [Path(p).stem for p in paths]
+    names = []
+    for p, stem in zip(paths, stems):
+        if stems.count(stem) > 1:
+            rel = Path(p).relative_to(args.input)
+            stem = "_".join(rel.parts[:-1] + (rel.stem,))
+        names.append(stem)
     imgs = np.stack([load_image_m11(p) for p in paths])
     predictor = Predictor.from_config(cfg, checkpoint=args.checkpoint,
                                       batch_size=int(args.batch),
                                       use_ema=bool(args.ema))
     t0 = time.perf_counter()
-    n = predictor.export(imgs, args.out,
-                         names=[Path(p).stem for p in paths])
+    n = predictor.export(imgs, args.out, names=names)
     dt = time.perf_counter() - t0
     print(f"served {n} faces -> {args.out} in {dt:.1f}s "
           f"({n / max(dt, 1e-9):.2f} faces/s incl. export)")

@@ -98,7 +98,11 @@ def convert_sr3_unet(
 
     The torch module is flat ModuleLists (``downs.N`` / ``mid.N`` /
     ``ups.N``); this walks them in the same construction order as
-    SR3UNet.__call__ to recover the named mapping.
+    SR3UNet.__call__ to recover the named mapping.  Attention placement is
+    detected from the checkpoint's own keys, so ``attn_res``/``image_size``
+    only need to describe the block/mult structure, not the attention
+    topology (reference checkpoints may be attn@16 or the experiments'
+    effective mid-only layout).
     """
     sd = strip_prefix(dict(state_dict))
     params: dict = {}
@@ -113,6 +117,15 @@ def convert_sr3_unet(
         }
 
     def res_with_attn(pfx, has_attn):
+        # trust the CHECKPOINT over the expected topology: the torch
+        # ResnetBlocWithAttn only materialises `.attn` when with_attn was
+        # set at construction, so key presence is exact.  This matters
+        # because the reference experiments' effective topology is
+        # mid-attention-only (the image_size=224 gate quirk, see
+        # tools/mirror_configs.py) while the SR-only pretrained lineage
+        # may carry attn@16 — both convert correctly without the caller
+        # knowing which it has.
+        has_attn = f"{pfx}.attn.norm.weight" in sd
         node = {"res_block": _convert_resblock(sd, f"{pfx}.res_block")}
         if has_attn:
             node["attn"] = _convert_attn(sd, f"{pfx}.attn")

@@ -96,9 +96,10 @@ def test_standard_instances_names():
     insts = standard_instances("/data/raw")
     names = {i.name for i in insts}
     # the reference's nine per-source adapters (datasets/creation/instances/)
-    # + the BP4D on-disk-name alias for the pb4d.py transposition typo
+    # — BP4D under its on-disk name (the reference's pb4d.py is a
+    # transposition typo; "PB4D" stays a CLI alias)
     assert names == {"LYHM", "LYHM_all", "STIRLING", "FRGC", "FLORENCE",
-                     "FACEWAREHOUSE", "BU3DFE", "BP4D", "PB4D", "D3DFACS"}
+                     "FACEWAREHOUSE", "BU3DFE", "BP4D", "D3DFACS"}
     assert all(i.use_pairs == i.name.startswith("LYHM") for i in insts)
 
 
@@ -264,7 +265,7 @@ def test_standard_instances_have_source_adapters():
     by_name = {i.name: i for i in insts}
     assert by_name["LYHM"].use_pairs and by_name["LYHM"].mesh_rotations
     assert by_name["FLORENCE"].max_images_per_actor == 1000
-    assert by_name["PB4D"].max_images_per_actor == 100
+    assert by_name["BP4D"].max_images_per_actor == 100
     assert by_name["FRGC"].mesh_scale == 10.0 and by_name["FRGC"].fix_obj
     assert by_name["STIRLING"].fix_mtl
 
