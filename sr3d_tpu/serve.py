@@ -207,6 +207,20 @@ class Predictor:
         return n
 
 
+def bundle_names(paths: list, input_root: str) -> list[str]:
+    """Output-bundle name per input image: the file stem, disambiguated by
+    its subdirectory when the recursive scan finds duplicate stems
+    (``a/face.png`` + ``b/face.png`` must not overwrite each other)."""
+    stems = [Path(p).stem for p in paths]
+    names = []
+    for p, stem in zip(paths, stems):
+        if stems.count(stem) > 1:
+            rel = Path(p).relative_to(input_root)
+            stem = "_".join(rel.parts[:-1] + (rel.stem,))
+        names.append(stem)
+    return names
+
+
 def main(argv=None) -> int:
     """Batch-serving CLI: a directory of LR face images → per-face bundles
     (mesh.ply/obj, kpt7/kpt68/identity npys, SR png).
@@ -248,16 +262,7 @@ def main(argv=None) -> int:
         cfg.sr.model.diffusion.ddim_steps = args.steps
 
     paths = get_paths_from_images(args.input)
-    # bundle names: file stems, disambiguated by their subdirectory when
-    # the recursive scan finds duplicate stems (a/face.png + b/face.png
-    # must not overwrite each other's bundle)
-    stems = [Path(p).stem for p in paths]
-    names = []
-    for p, stem in zip(paths, stems):
-        if stems.count(stem) > 1:
-            rel = Path(p).relative_to(args.input)
-            stem = "_".join(rel.parts[:-1] + (rel.stem,))
-        names.append(stem)
+    names = bundle_names(paths, args.input)
     imgs = np.stack([load_image_m11(p) for p in paths])
     predictor = Predictor.from_config(cfg, checkpoint=args.checkpoint,
                                       batch_size=int(args.batch),

@@ -172,3 +172,13 @@ def test_serve_cli(predictor_setup, tmp_path):
         assert (d / "identity.npy").exists()
     arr = np.asarray(Image.open(out / "face_a" / "face_a_sr.png"))
     assert arr.shape == (16, 16, 3)
+
+
+def test_bundle_names_dedup():
+    """Duplicate stems across subdirectories disambiguate with the subdir;
+    unique stems stay bare."""
+    from sr3d_tpu.serve import bundle_names
+
+    paths = ["/in/a/face.png", "/in/b/face.png", "/in/a/other.png"]
+    assert bundle_names(paths, "/in") == ["a_face", "b_face", "other"]
+    assert bundle_names(["/in/x.png"], "/in") == ["x"]
