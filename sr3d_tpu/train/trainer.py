@@ -186,7 +186,10 @@ class Trainer:
                           self._batch_sharding, self._repl),
             out_shardings=(self._state_shardings, metrics_shardings),
             donate_argnums=1)
-        self._val_step = jax.jit(make_val_step())
+        # train.val_use_ema: evaluate/serve with the EMA UNet weights (the
+        # reference configs promise EMA but never built it; ours is real)
+        self._val_step = jax.jit(make_val_step(
+            use_ema=bool(cfg.train.get("val_use_ema", False))))
 
         # the reference keeps every I*_E*_checkpoint.pth; we rotate (orbax
         # default) but make the retention configurable — 0/negative = keep all

@@ -294,3 +294,33 @@ def test_train_step_jits(joint_setup):
     s2, m2 = step(modules, s1, batch_of(seed=1), jax.random.PRNGKey(2))
     assert int(s2.step) == 2
     assert np.isfinite(float(m2["loss"]))
+
+
+def test_val_step_use_ema_selects_ema_params(joint_setup):
+    """make_val_step(use_ema=True) must sample with state.ema.params, not
+    the live params (train.val_use_ema wiring)."""
+    import jax
+    import jax.numpy as jnp
+
+    from sr3d_tpu.diffusion.ema import EmaState
+    from sr3d_tpu.train.joint import make_val_step
+
+    cfg, modules, opt, state = joint_setup
+    batch = batch_of()
+    # EMA params frozen at a DIFFERENT point: perturb live sr params
+    bumped = jax.tree.map(lambda x: x + 0.05, state.params["sr"])
+    st = state._replace(
+        params={**state.params, "sr": bumped},
+        ema=EmaState(params=state.params["sr"],
+                     step=jnp.ones((), jnp.int32)))
+    rng = jax.random.PRNGKey(0)
+    vb = {"SR": batch["SR"]}
+    out_live = make_val_step(use_ema=False)(modules, st, vb, rng)
+    out_ema = make_val_step(use_ema=True)(modules, st, vb, rng)
+    # ema path == sampling with the ORIGINAL params
+    st_orig = st._replace(params={**st.params, "sr": st.ema.params})
+    out_ref = make_val_step(use_ema=False)(modules, st_orig, vb, rng)
+    import numpy as np
+    np.testing.assert_allclose(np.asarray(out_ema["sr"]),
+                               np.asarray(out_ref["sr"]), atol=1e-6)
+    assert float(jnp.max(jnp.abs(out_ema["sr"] - out_live["sr"]))) > 1e-4
