@@ -98,8 +98,12 @@ def get_cfg_defaults() -> ConfigNode:
     sr.model.diffusion = ConfigNode(
         dict(image_size=128, channels=3, conditional=True, loss="l1",
              # sampler: "ddpm" = full ancestral loop (reference semantics);
-             # "ddim" = strided fast sampling (new capability)
-             sampler="ddpm", ddim_steps=50, ddim_eta=1.0)
+             # "ddim"/"dpm++" = strided fast sampling (new capability).
+             # sampler_init: "noise" (reference) | "marginal" (corrects the
+             # pure-noise start for this non-zero-terminal-SNR schedule —
+             # required for good deterministic ddim/dpm++ quality, PERF.md)
+             sampler="ddpm", ddim_steps=50, ddim_eta=1.0,
+             sampler_init="noise")
     )
 
     sr.train = ConfigNode(

@@ -297,6 +297,31 @@ def _strided_taus(T: int, num_steps: int) -> jax.Array:
     return jnp.linspace(0, T - 1, num_steps).round().astype(jnp.int32)
 
 
+def _sampler_init(sched, x_in, key, init: str, condition) -> jax.Array:
+    """Initial reverse-process state x_T.
+
+    * ``"noise"``: pure N(0,1) — the reference's (and DDPM's) convention.
+    * ``"marginal"``: the forward marginal q(x_T | x0≈condition) =
+      √ᾱ_T·cond + √(1−ᾱ_T)·ε.  The schedules here have NON-ZERO terminal
+      SNR (linear 1e-6→0.01 @ T=600 leaves √ᾱ_T ≈ 0.22 — x_T retains 22%
+      signal during training), so pure-noise init is off the training
+      manifold; ancestral sampling's per-step noise washes that out, but
+      deterministic integrators (DDIM η=0, DPM-Solver++) preserve the bias
+      and can collapse (measured: PERF.md "sampler quality").  Using the
+      bicubic conditioning as the x0 proxy matches the marginal exactly at
+      inference time (cf. Lin et al. 2023, "Common Diffusion Noise
+      Schedules and Sample Steps Are Flawed").
+    """
+    noise = jax.random.normal(key, x_in.shape, jnp.float32)
+    if init == "noise" or condition is None:
+        return noise
+    if init != "marginal":
+        raise ValueError(f"unknown sampler init {init!r}; "
+                         f"expected noise | marginal")
+    a_T = sched.alphas_cumprod[-1]
+    return jnp.sqrt(a_T) * condition + jnp.sqrt(1.0 - a_T) * noise
+
+
 def _make_x0_eps_pred(denoise_apply, sched, condition, clip_denoised,
                       time_input):
     """Shared fast-sampler inner block: one UNet eval at timestep ``t`` →
@@ -334,6 +359,7 @@ def ddim_sample_loop(
     conditional: bool = True,
     clip_denoised: bool = True,
     time_input: Literal["gamma", "t"] = "gamma",
+    init: str = "noise",
 ) -> jax.Array:
     """Deterministic/η-stochastic DDIM over a strided timestep subsequence.
 
@@ -341,7 +367,9 @@ def ddim_sample_loop(
     12× wall-clock reduction at the 16→128 config's T=600 with near-parity
     quality (standard DDIM result; Song et al. 2021 recipe, implemented
     from the published update rule).  ``eta=0`` is deterministic DDIM;
-    ``eta=1`` recovers ancestral-like variance.
+    ``eta=1`` recovers ancestral-like variance.  ``init="marginal"``
+    corrects the pure-noise start for non-zero-terminal-SNR schedules
+    (see :func:`_sampler_init`) — essential for η=0 on the 16→128 config.
     """
     T = sched.num_timesteps
     num_steps = min(num_steps, T)
@@ -351,7 +379,7 @@ def ddim_sample_loop(
                                clip_denoised, time_input)
 
     k_init, k_loop = jax.random.split(rng)
-    img0 = jax.random.normal(k_init, x_in.shape, jnp.float32)
+    img0 = _sampler_init(sched, x_in, k_init, init, condition)
 
     def step(img, i):
         # reverse order: i = S-1 .. 0 maps to t = taus[i], t_prev = taus[i-1]
@@ -384,6 +412,7 @@ def dpmpp_sample_loop(
     conditional: bool = True,
     clip_denoised: bool = True,
     time_input: Literal["gamma", "t"] = "gamma",
+    init: str = "noise",
 ) -> jax.Array:
     """DPM-Solver++(2M): deterministic second-order multistep sampling
     (Lu et al. 2022 data-prediction form, implemented from the published
@@ -404,7 +433,7 @@ def dpmpp_sample_loop(
                                clip_denoised, time_input)
 
     k_init, _ = jax.random.split(rng)
-    img0 = jax.random.normal(k_init, x_in.shape, jnp.float32)
+    img0 = _sampler_init(sched, x_in, k_init, init, condition)
 
     def step(carry, i):
         img, d_prev, lam_prev, have_prev = carry

@@ -99,6 +99,8 @@ class JointModules:
                                         default=50)
     ddim_eta: float = dataclasses.field(metadata=dict(static=True),
                                         default=1.0)
+    sampler_init: str = dataclasses.field(metadata=dict(static=True),
+                                          default="noise")
 
 
 class JointTrainState(NamedTuple):
@@ -172,6 +174,8 @@ def build_joint(cfg, flame: FlameModel | None = None,
         val_sampler=str(cfg.sr.model.diffusion.get("sampler", "ddpm")),
         ddim_steps=int(cfg.sr.model.diffusion.get("ddim_steps", 50)),
         ddim_eta=float(cfg.sr.model.diffusion.get("ddim_eta", 1.0)),
+        sampler_init=str(cfg.sr.model.diffusion.get("sampler_init",
+                                                    "noise")),
     )
 
 
@@ -434,14 +438,15 @@ def make_val_step(use_ema: bool = False):
 
             final = ddim_sample_loop(
                 denoise, modules.sched_val, batch["SR"], rng,
-                num_steps=modules.ddim_steps, eta=modules.ddim_eta)
+                num_steps=modules.ddim_steps, eta=modules.ddim_eta,
+                init=modules.sampler_init)
             sample = SampleOutput(final=final, intermediates=None)
         elif modules.val_sampler == "dpm++":
             from ..diffusion.gaussian import dpmpp_sample_loop
 
             final = dpmpp_sample_loop(
                 denoise, modules.sched_val, batch["SR"], rng,
-                num_steps=modules.ddim_steps)
+                num_steps=modules.ddim_steps, init=modules.sampler_init)
             sample = SampleOutput(final=final, intermediates=None)
         else:
             sample = p_sample_loop(denoise, modules.sched_val, batch["SR"],

@@ -214,26 +214,26 @@ class SRModel:
                       if (use_ema and state.ema is not None)
                       else state.params)
             denoise = lambda x, t: self.unet.apply(params, x, t)
+            d_cfg = self.cfg.sr.model.diffusion
             if sampler == "ddim" and not continuous:
                 from ..diffusion.gaussian import ddim_sample_loop
 
                 return ddim_sample_loop(
                     denoise, self.sched_val, cond, rng,
-                    num_steps=int(
-                        self.cfg.sr.model.diffusion.get("ddim_steps", 50)),
-                    eta=float(
-                        self.cfg.sr.model.diffusion.get("ddim_eta", 1.0)),
+                    num_steps=int(d_cfg.get("ddim_steps", 50)),
+                    eta=float(d_cfg.get("ddim_eta", 1.0)),
                     conditional=self.conditional,
-                    time_input=self.time_input)
+                    time_input=self.time_input,
+                    init=str(d_cfg.get("sampler_init", "noise")))
             if sampler == "dpm++" and not continuous:
                 from ..diffusion.gaussian import dpmpp_sample_loop
 
                 return dpmpp_sample_loop(
                     denoise, self.sched_val, cond, rng,
-                    num_steps=int(
-                        self.cfg.sr.model.diffusion.get("ddim_steps", 50)),
+                    num_steps=int(d_cfg.get("ddim_steps", 50)),
                     conditional=self.conditional,
-                    time_input=self.time_input)
+                    time_input=self.time_input,
+                    init=str(d_cfg.get("sampler_init", "noise")))
             out = p_sample_loop(
                 denoise, self.sched_val, cond, rng,
                 conditional=self.conditional,

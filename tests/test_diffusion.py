@@ -141,3 +141,45 @@ def test_discrete_loss_finite(tiny_unet):
 
     loss = p_losses_discrete(apply_t, s, hr, cond, jax.random.PRNGKey(0))
     assert np.isfinite(float(loss))
+
+
+def test_sampler_marginal_init():
+    """init="marginal" starts the reverse process at the forward marginal
+    q(x_T | x0=cond) instead of pure noise — the correction for this
+    schedule family's non-zero terminal SNR."""
+    from sr3d_tpu.diffusion.gaussian import _sampler_init
+
+    s = make_schedule("linear", 20, 1e-3, 5e-2)
+    cond = jnp.full((2, 8, 8, 3), 0.7)
+    k = jax.random.PRNGKey(0)
+    noise_init = _sampler_init(s, cond, k, "noise", cond)
+    marg_init = _sampler_init(s, cond, k, "marginal", cond)
+    a_T = float(s.alphas_cumprod[-1])
+    # same epsilon draw: marginal = sqrt(a_T)*cond + sqrt(1-a_T)*noise
+    np.testing.assert_allclose(
+        np.asarray(marg_init),
+        np.sqrt(a_T) * 0.7 + np.sqrt(1 - a_T) * np.asarray(noise_init),
+        atol=1e-6)
+    # unconditional: no x0 proxy exists -> plain noise
+    np.testing.assert_array_equal(
+        np.asarray(_sampler_init(s, cond, k, "marginal", None)),
+        np.asarray(noise_init))
+    import pytest
+    with pytest.raises(ValueError):
+        _sampler_init(s, cond, k, "typo", cond)
+
+
+def test_ddim_marginal_init_plumbed(tiny_unet, tiny_schedule):
+    """The init knob reaches ddim/dpm++ loops (different x_T -> different
+    output)."""
+    from sr3d_tpu.diffusion.gaussian import ddim_sample_loop, dpmpp_sample_loop
+
+    unet, params = tiny_unet
+    s = tiny_schedule
+    cond = jnp.linspace(-1, 1, 2 * 16 * 16 * 3).reshape(2, 16, 16, 3)
+    den = lambda x, t: unet.apply(params, x, t)
+    k = jax.random.PRNGKey(3)
+    for fn in (ddim_sample_loop, dpmpp_sample_loop):
+        a = fn(den, s, cond, k, num_steps=4)
+        b = fn(den, s, cond, k, num_steps=4, init="marginal")
+        assert float(jnp.max(jnp.abs(a - b))) > 1e-6
