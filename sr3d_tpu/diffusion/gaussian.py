@@ -167,8 +167,13 @@ def p_sample_loop(
     return_intermediates: bool = False,
     time_input: Literal["gamma", "t"] = "gamma",
     fixed_noise: jax.Array | None = None,
+    init: str = "noise",
 ) -> SampleOutput:
     """Full ancestral reverse loop as one ``lax.scan``.
+
+    ``init="marginal"`` starts from the conditioning's forward marginal
+    instead of pure noise (see :func:`_sampler_init`; the reference always
+    starts from noise — keep the default for parity).
 
     * ``conditional=True``: ``x_in`` is the bicubically-upsampled LR
       conditioning image; sampling starts from pure noise of the same shape
@@ -194,7 +199,7 @@ def p_sample_loop(
 
     k_init, k_loop = jax.random.split(rng)
     img0 = (fixed_noise[0].astype(jnp.float32) if fixed_noise is not None
-            else jax.random.normal(k_init, shape, jnp.float32))
+            else _sampler_init(sched, x_in, k_init, init, condition))
 
     sample_inter = 1 | (T // 10)
     n_kept = (T + sample_inter - 1) // sample_inter if return_intermediates else 0

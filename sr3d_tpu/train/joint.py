@@ -450,7 +450,7 @@ def make_val_step(use_ema: bool = False):
             sample = SampleOutput(final=final, intermediates=None)
         else:
             sample = p_sample_loop(denoise, modules.sched_val, batch["SR"],
-                                   rng)
+                                   rng, init=modules.sampler_init)
         img224, blob = sr_to_mica_inputs(
             sample.final, image_size=modules.image_size,
             blob_size=modules.blob_size)

@@ -239,7 +239,8 @@ class SRModel:
                 conditional=self.conditional,
                 remat=self.sample_remat,
                 return_intermediates=continuous,
-                time_input=self.time_input)
+                time_input=self.time_input,
+                init=str(d_cfg.get("sampler_init", "noise")))
             return out.intermediates if continuous else out.final
 
         return sample
