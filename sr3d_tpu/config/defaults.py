@@ -226,8 +226,10 @@ def get_cfg_defaults() -> ConfigNode:
             eval_steps=5000,
             reset_optimizer=False,
             val_n_img=5,
-            # evaluate/export with the EMA UNet weights (EMA is a real
-            # capability here; the reference only configured it)
+            # val/export path uses the EMA UNet weights (EMA is a real
+            # capability here; the reference only configured it).  Scope:
+            # `evaluate` only — best-model selection (`evaluate_MICA`)
+            # keeps the reference's live-weights train-schedule semantics
             val_use_ema=False,
             # model3 only: True reproduces the reference's LITERAL behavior
             # (sampled SR detached before the MICA hand-off,

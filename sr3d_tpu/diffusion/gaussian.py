@@ -317,12 +317,14 @@ def _sampler_init(sched, x_in, key, init: str, condition) -> jax.Array:
       inference time (cf. Lin et al. 2023, "Common Diffusion Noise
       Schedules and Sample Steps Are Flawed").
     """
+    if init not in ("noise", "marginal"):
+        # validate BEFORE the unconditional early-return so a typo never
+        # silently degrades to pure-noise init
+        raise ValueError(f"unknown sampler init {init!r}; "
+                         f"expected noise | marginal")
     noise = jax.random.normal(key, x_in.shape, jnp.float32)
     if init == "noise" or condition is None:
         return noise
-    if init != "marginal":
-        raise ValueError(f"unknown sampler init {init!r}; "
-                         f"expected noise | marginal")
     a_T = sched.alphas_cumprod[-1]
     return jnp.sqrt(a_T) * condition + jnp.sqrt(1.0 - a_T) * noise
 

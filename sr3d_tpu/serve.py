@@ -116,7 +116,13 @@ class Predictor:
                 params = dict(state.params)
                 params["sr"] = load_leaves_into(checkpoint,
                                                 state.params["sr"])
-                state = state._replace(params=params)
+                ema = state.ema
+                if ema is not None:
+                    # re-seed the EMA mirror from the loaded weights so
+                    # use_ema never serves the random-init copy
+                    from .diffusion.ema import ema_init
+                    ema = ema_init(params["sr"])._replace(step=ema.step)
+                state = state._replace(params=params, ema=ema)
         elif checkpoint is None:
             ckpt_dir = (Path(cfg.output_dir) / (cfg.get("name") or "default")
                         / cfg.path.checkpoint)
@@ -210,14 +216,23 @@ class Predictor:
 def bundle_names(paths: list, input_root: str) -> list[str]:
     """Output-bundle name per input image: the file stem, disambiguated by
     its subdirectory when the recursive scan finds duplicate stems
-    (``a/face.png`` + ``b/face.png`` must not overwrite each other)."""
+    (``a/face.png`` + ``b/face.png``), and by the extension when even the
+    relative path collides (``a/face.png`` + ``a/face.jpg``) — bundles
+    must never overwrite each other."""
+    from collections import Counter
+
     stems = [Path(p).stem for p in paths]
+    stem_counts = Counter(stems)
     names = []
     for p, stem in zip(paths, stems):
-        if stems.count(stem) > 1:
+        if stem_counts[stem] > 1:
             rel = Path(p).relative_to(input_root)
             stem = "_".join(rel.parts[:-1] + (rel.stem,))
         names.append(stem)
+    name_counts = Counter(names)
+    for i, p in enumerate(paths):
+        if name_counts[names[i]] > 1:
+            names[i] = f"{names[i]}_{Path(p).suffix.lstrip('.')}"
     return names
 
 

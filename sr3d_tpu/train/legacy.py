@@ -43,7 +43,10 @@ class AlternatingTrainer:
             modules, cfg, k2, self.mica_opt)
 
         self._sr_step = jax.jit(self.sr.make_train_step(), donate_argnums=0)
-        self._sr_sample = jax.jit(self.sr.make_sampler())
+        # same val-weights convention as the joint trainer: the EMA knob
+        # applies to the alternating path's sampling too
+        self._sr_sample = jax.jit(self.sr.make_sampler(
+            use_ema=bool(cfg.train.get("val_use_ema", False))))
         self._mica_step = jax.jit(make_mica_train_step(self.mica_opt),
                                   donate_argnums=1)
         self._rng = jax.random.PRNGKey(int(cfg.seed) + 7)

@@ -187,9 +187,16 @@ class Trainer:
             out_shardings=(self._state_shardings, metrics_shardings),
             donate_argnums=1)
         # train.val_use_ema: evaluate/serve with the EMA UNet weights (the
-        # reference configs promise EMA but never built it; ours is real)
-        self._val_step = jax.jit(make_val_step(
-            use_ema=bool(cfg.train.get("val_use_ema", False))))
+        # reference configs promise EMA but never built it; ours is real).
+        # Scope: the val/export path (`evaluate`); best-model selection
+        # (`evaluate_MICA`) keeps the reference's live-weights
+        # train-schedule semantics.
+        val_use_ema = bool(cfg.train.get("val_use_ema", False))
+        if val_use_ema and self.state.ema is None:
+            logger.warning(
+                "train.val_use_ema=True but sr.train.ema_scheduler is "
+                "disabled — no EMA state exists; val uses live params")
+        self._val_step = jax.jit(make_val_step(use_ema=val_use_ema))
 
         # the reference keeps every I*_E*_checkpoint.pth; we rotate (orbax
         # default) but make the retention configurable — 0/negative = keep all
@@ -343,8 +350,15 @@ class Trainer:
         else:
             logger.info("[SR] no pretrained model found at %s", prefix)
             return False
+        ema = self.state.ema
+        if ema is not None:
+            # the EMA mirror was frozen at the random init — re-seed it from
+            # the loaded weights, or val_use_ema/--ema would silently
+            # evaluate random-init EMA params
+            from ..diffusion.ema import ema_init
+            ema = ema_init(params["sr"])._replace(step=ema.step)
         self.state = jax.device_put(
-            self.state._replace(params=params, opt_state=opt_state),
+            self.state._replace(params=params, opt_state=opt_state, ema=ema),
             self._state_shardings)
         logger.info("[SR] warm-started SR branch from %s", prefix)
         return True

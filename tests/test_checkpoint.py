@@ -486,3 +486,33 @@ def test_staged_workflow_sr_pretrain_then_joint(tmp_path):
     prefix = str(ckpt_dir / "I3_E1")
     assert trainer.load_sr_pretrained(prefix)
     assert trainer.global_step == 3
+
+
+def test_warm_start_reseeds_ema(tmp_path):
+    """load_sr_pretrained must re-seed the EMA mirror from the loaded
+    weights — otherwise val_use_ema/--ema silently evaluates the
+    random-init EMA copy."""
+    import jax
+
+    from sr3d_tpu.cli.main import run_sr_only
+    from sr3d_tpu.data.synthetic import generate_synthetic_faces
+
+    cfg = _tiny_cfg()
+    cfg.name = "ema_warm"
+    cfg.output_dir = str(tmp_path / "out")
+    cfg.phase = "train"
+    generate_synthetic_faces(tmp_path / "lrhr", n=4, l_res=8, r_res=16)
+    cfg.sr.datasets.train.dataroot = str(tmp_path / "lrhr")
+    cfg.sr.train.n_iter = 2
+    cfg.train.checkpoint_steps = 2
+    cfg.train.log_steps = 1
+    run_sr_only(cfg)
+    ckpt_dir = tmp_path / "out" / "ema_warm" / cfg.path.checkpoint_sr
+    prefix = sorted(ckpt_dir.glob("I*_gen.npz"))[-1]
+
+    trainer, _ = _joint_trainer(tmp_path, cfg)
+    assert trainer.state.ema is not None, "tiny cfg must keep EMA on"
+    assert trainer.load_sr_pretrained(str(prefix)[: -len("_gen.npz")])
+    for a, b in zip(jax.tree.leaves(trainer.state.ema.params),
+                    jax.tree.leaves(trainer.state.params["sr"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -182,3 +182,16 @@ def test_bundle_names_dedup():
     paths = ["/in/a/face.png", "/in/b/face.png", "/in/a/other.png"]
     assert bundle_names(paths, "/in") == ["a_face", "b_face", "other"]
     assert bundle_names(["/in/x.png"], "/in") == ["x"]
+
+
+def test_bundle_names_same_dir_extension_collision():
+    """a/face.png + a/face.jpg (same rel path modulo extension) still get
+    distinct bundle names."""
+    from sr3d_tpu.serve import bundle_names
+
+    paths = ["/in/a/face.png", "/in/a/face.jpg"]
+    names = bundle_names(paths, "/in")
+    assert len(set(names)) == 2
+    paths = ["/in/face.png", "/in/face.jpg", "/in/b/other.png"]
+    names = bundle_names(paths, "/in")
+    assert len(set(names)) == 3 and "other" in names
