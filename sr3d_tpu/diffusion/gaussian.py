@@ -420,17 +420,25 @@ def dpmpp_sample_loop(
     clip_denoised: bool = True,
     time_input: Literal["gamma", "t"] = "gamma",
     init: str = "noise",
+    eta: float = 0.0,
 ) -> jax.Array:
-    """DPM-Solver++(2M): deterministic second-order multistep sampling
-    (Lu et al. 2022 data-prediction form, implemented from the published
-    update rule — new capability, no reference equivalent).
+    """DPM-Solver++(2M): second-order multistep sampling (Lu et al. 2022
+    data-prediction form, implemented from the published update rule —
+    new capability, no reference equivalent).
 
     Halves the UNet evaluations again vs DDIM at matched quality: the
     second-order Adams-Bashforth combination of consecutive x₀ predictions
     cancels the first-order discretisation error of the exponential
-    integrator.  Deterministic; the first and final updates fall back to
-    first order (== DDIM η=0, the standard ``lower_order_final`` guard —
-    the terminal log-SNR is infinite, so the 2M coefficient r would be 0).
+    integrator.  The first and final updates fall back to first order
+    (== DDIM η=0, the standard ``lower_order_final`` guard — the terminal
+    log-SNR is infinite, so the 2M coefficient r would be 0).
+
+    ``eta=0`` is the deterministic ODE solver; ``eta>0`` is the 2M **SDE**
+    variant (the VP translation of the k-diffusion ``dpmpp_2m_sde``
+    update): the state decays an extra ``e^{-ηh}`` toward the x₀
+    prediction each step and fresh noise ``σ_t√(1−e^{-2ηh})·ε`` restores
+    the marginal — per-step noise reinjection that, like DDIM η=1,
+    corrects integrator/model bias (measured: PERF.md "sampler quality").
     """
     T = sched.num_timesteps
     num_steps = min(num_steps, T)
@@ -439,7 +447,7 @@ def dpmpp_sample_loop(
     x0_eps = _make_x0_eps_pred(denoise_apply, sched, condition,
                                clip_denoised, time_input)
 
-    k_init, _ = jax.random.split(rng)
+    k_init, k_loop = jax.random.split(rng)
     img0 = _sampler_init(sched, x_in, k_init, init, condition)
 
     def step(carry, i):
@@ -459,21 +467,40 @@ def dpmpp_sample_loop(
         e_neg_h = (alpha_c * sigma_p) / (alpha_p * sigma_c)
         lam_c = jnp.log(alpha_c / sigma_c)
 
-        # 2M correction: D̃ = D + (D - D_prev)/(2 r),  r = h_prev/h.
         # h is clamped away from 0: duplicate taus (num_steps ≈ T after
         # rounding) make the update a no-op via the (1 − e^{-h}) factor, but
         # an unclamped 1/h would turn that 0·∞ into NaN
         h = jnp.maximum(-jnp.log(jnp.maximum(e_neg_h, 1e-38)), 1e-12)
         h_prev = lam_c - lam_prev
         # r likewise clamped: h_prev = 0 (duplicate previous tau) makes
-        # d == d_prev bit-identically, so the correction term is 0·(1/2r)
+        # d == d_prev bit-identically, so the correction term is 0·(1/r)
         # — finite only if r stays finite
         r = jnp.maximum(h_prev / h, 1e-6)
-        d_tilde = d + (d - d_prev) / (2.0 * r)
         use_2nd = have_prev & (t_prev >= 0)
-        d_eff = jnp.where(use_2nd, d_tilde, d)
 
-        img_next = (sigma_p / sigma_c) * img + alpha_p * (1.0 - e_neg_h) * d_eff
+        if eta == 0.0:
+            # deterministic 2M: D̃ = D + (D - D_prev)/(2 r)
+            d_tilde = d + (d - d_prev) / (2.0 * r)
+            d_eff = jnp.where(use_2nd, d_tilde, d)
+            img_next = ((sigma_p / sigma_c) * img
+                        + alpha_p * (1.0 - e_neg_h) * d_eff)
+        else:
+            # 2M SDE (VP form of k-diffusion's dpmpp_2m_sde): extra e^{-ηh}
+            # state decay, (1+η)h-integrated x₀ coefficient, second-order
+            # term with the [1 − (1−e^{-c})/c] kernel, fresh noise restoring
+            # the marginal.  At the terminal step σ_p = 0 kills both the
+            # state and noise terms and e^{-(1+η)h} = 0 leaves x = D.
+            c = (1.0 + eta) * h
+            e_neg_c = e_neg_h ** (1.0 + eta)
+            corr = (1.0 - (1.0 - e_neg_c) / c) / r * (d - d_prev)
+            d_term = (1.0 - e_neg_c) * d + jnp.where(use_2nd, corr, 0.0)
+            noise = jax.random.normal(jax.random.fold_in(k_loop, i),
+                                      img.shape, jnp.float32)
+            noise = jnp.where(t_prev >= 0, noise, jnp.zeros_like(noise))
+            img_next = ((sigma_p / sigma_c) * (e_neg_h ** eta) * img
+                        + alpha_p * d_term
+                        + sigma_p * jnp.sqrt(jnp.maximum(
+                            1.0 - e_neg_h ** (2.0 * eta), 0.0)) * noise)
         return (img_next, d, lam_c, jnp.bool_(True)), None
 
     carry0 = (img0, jnp.zeros_like(img0), jnp.float32(0.0), jnp.bool_(False))

@@ -444,9 +444,12 @@ def make_val_step(use_ema: bool = False):
         elif modules.val_sampler == "dpm++":
             from ..diffusion.gaussian import dpmpp_sample_loop
 
+            # ddim_eta governs both strided samplers (eta>0 = the 2M SDE
+            # variant; the default 1.0 is the measured-quality choice)
             final = dpmpp_sample_loop(
                 denoise, modules.sched_val, batch["SR"], rng,
-                num_steps=modules.ddim_steps, init=modules.sampler_init)
+                num_steps=modules.ddim_steps, init=modules.sampler_init,
+                eta=modules.ddim_eta)
             sample = SampleOutput(final=final, intermediates=None)
         else:
             sample = p_sample_loop(denoise, modules.sched_val, batch["SR"],

@@ -233,7 +233,8 @@ class SRModel:
                     num_steps=int(d_cfg.get("ddim_steps", 50)),
                     conditional=self.conditional,
                     time_input=self.time_input,
-                    init=str(d_cfg.get("sampler_init", "noise")))
+                    init=str(d_cfg.get("sampler_init", "noise")),
+                    eta=float(d_cfg.get("ddim_eta", 1.0)))
             out = p_sample_loop(
                 denoise, self.sched_val, cond, rng,
                 conditional=self.conditional,

@@ -183,3 +183,28 @@ def test_ddim_marginal_init_plumbed(tiny_unet, tiny_schedule):
         a = fn(den, s, cond, k, num_steps=4)
         b = fn(den, s, cond, k, num_steps=4, init="marginal")
         assert float(jnp.max(jnp.abs(a - b))) > 1e-6
+
+
+def test_dpmpp_sde_variant(tiny_unet, tiny_schedule):
+    """eta>0 = the 2M SDE variant: distinct trajectory from the ODE, same
+    single-step terminal limit (both collapse to the x0 prediction), and
+    finite output."""
+    from sr3d_tpu.diffusion.gaussian import dpmpp_sample_loop
+
+    unet, params = tiny_unet
+    s = tiny_schedule
+    cond = jnp.linspace(-1, 1, 2 * 16 * 16 * 3).reshape(2, 16, 16, 3)
+    den = lambda x, t: unet.apply(params, x, t)
+    k = jax.random.PRNGKey(7)
+
+    ode = dpmpp_sample_loop(den, s, cond, k, num_steps=6)
+    sde = dpmpp_sample_loop(den, s, cond, k, num_steps=6, eta=1.0)
+    assert np.isfinite(np.asarray(sde)).all()
+    assert float(jnp.max(jnp.abs(ode - sde))) > 1e-5
+
+    # num_steps=1: single terminal update — x = x0 prediction for both
+    # (sigma_p = 0 kills the state and noise terms, e^{-(1+eta)h} = 0)
+    one_ode = dpmpp_sample_loop(den, s, cond, k, num_steps=1)
+    one_sde = dpmpp_sample_loop(den, s, cond, k, num_steps=1, eta=1.0)
+    np.testing.assert_allclose(np.asarray(one_ode), np.asarray(one_sde),
+                               atol=1e-5)

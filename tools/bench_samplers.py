@@ -48,6 +48,8 @@ def main(argv=None) -> int:
     ap.add_argument("--steps", type=int, default=2000,
                     help="training steps before evaluation")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    ap.add_argument("--fast-steps", type=int, default=0,
+                    help="strided-sampler step count (default T//24)")
     args = ap.parse_args(argv)
 
     import jax
@@ -131,7 +133,7 @@ def main(argv=None) -> int:
                           "ssim": round(s, 4)}), flush=True)
 
     k = jax.random.PRNGKey(1234)
-    fast = max(T // 24, 4)
+    fast = args.fast_steps or max(T // 24, 4)
     evaluate(f"ddpm-{T}",
              p_sample_loop(den, sched, val_cond, k).final)
     for init in ("noise", "marginal"):
@@ -141,9 +143,12 @@ def main(argv=None) -> int:
         evaluate(f"ddim-{fast}-eta0-{init}",
                  ddim_sample_loop(den, sched, val_cond, k, num_steps=fast,
                                   eta=0.0, init=init))
-        evaluate(f"dpm++-{fast}-{init}",
+        evaluate(f"dpm++-{fast}-eta0-{init}",
                  dpmpp_sample_loop(den, sched, val_cond, k, num_steps=fast,
                                    init=init))
+        evaluate(f"dpm++-{fast}-eta1-{init}",
+                 dpmpp_sample_loop(den, sched, val_cond, k, num_steps=fast,
+                                   init=init, eta=1.0))
     bic = float(np.mean([calculate_psnr(
         np.asarray(tensor_to_uint8(val_cond))[i], hr_u8[i])
         for i in range(4)]))
