@@ -102,7 +102,9 @@ def get_cfg_defaults() -> ConfigNode:
              # sampler_init: "noise" (reference) | "marginal" (corrects the
              # pure-noise start for this non-zero-terminal-SNR schedule —
              # required for good deterministic ddim/dpm++ quality, PERF.md)
-             sampler="ddpm", ddim_steps=50, ddim_eta=1.0,
+             # dpmpp_eta: 0 = deterministic 2M (best with marginal init);
+             # >0 = the 2M SDE variant (helps only at noise init, PERF.md)
+             sampler="ddpm", ddim_steps=50, ddim_eta=1.0, dpmpp_eta=0.0,
              sampler_init="noise")
     )
 

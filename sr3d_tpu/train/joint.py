@@ -101,6 +101,8 @@ class JointModules:
                                         default=1.0)
     sampler_init: str = dataclasses.field(metadata=dict(static=True),
                                           default="noise")
+    dpmpp_eta: float = dataclasses.field(metadata=dict(static=True),
+                                         default=0.0)
 
 
 class JointTrainState(NamedTuple):
@@ -176,6 +178,7 @@ def build_joint(cfg, flame: FlameModel | None = None,
         ddim_eta=float(cfg.sr.model.diffusion.get("ddim_eta", 1.0)),
         sampler_init=str(cfg.sr.model.diffusion.get("sampler_init",
                                                     "noise")),
+        dpmpp_eta=float(cfg.sr.model.diffusion.get("dpmpp_eta", 0.0)),
     )
 
 
@@ -444,12 +447,13 @@ def make_val_step(use_ema: bool = False):
         elif modules.val_sampler == "dpm++":
             from ..diffusion.gaussian import dpmpp_sample_loop
 
-            # ddim_eta governs both strided samplers (eta>0 = the 2M SDE
-            # variant; the default 1.0 is the measured-quality choice)
+            # dpmpp_eta > 0 = the 2M SDE variant (its own knob: the
+            # measured best dpm++ setting is deterministic + marginal
+            # init, unlike ddim where eta=1 wins — PERF.md)
             final = dpmpp_sample_loop(
                 denoise, modules.sched_val, batch["SR"], rng,
                 num_steps=modules.ddim_steps, init=modules.sampler_init,
-                eta=modules.ddim_eta)
+                eta=modules.dpmpp_eta)
             sample = SampleOutput(final=final, intermediates=None)
         else:
             sample = p_sample_loop(denoise, modules.sched_val, batch["SR"],

@@ -234,7 +234,7 @@ class SRModel:
                     conditional=self.conditional,
                     time_input=self.time_input,
                     init=str(d_cfg.get("sampler_init", "noise")),
-                    eta=float(d_cfg.get("ddim_eta", 1.0)))
+                    eta=float(d_cfg.get("dpmpp_eta", 0.0)))
             out = p_sample_loop(
                 denoise, self.sched_val, cond, rng,
                 conditional=self.conditional,
