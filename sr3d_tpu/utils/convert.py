@@ -274,7 +274,9 @@ def main(argv=None):  # pragma: no cover — exercised via CLI
     p.add_argument("--out", required=True)
     p.add_argument("--channel-mults", default="1,2,4,8,8")
     p.add_argument("--res-blocks", type=int, default=2)
-    p.add_argument("--image-size", type=int, default=128)
+    p.add_argument("--image-size", type=int, default=128,
+                   help="block/mult structure only — attention placement "
+                        "is auto-detected from the checkpoint's keys")
     args = p.parse_args(argv)
 
     import torch
