@@ -27,6 +27,8 @@ def get_cfg_defaults() -> ConfigNode:
     c.log_eval = None
     c.sample = 1
     c.checkpoint = None
+    c.cfg_file = None   # set by the CLI; in-schema so dumped configs
+                        # (logs/config.yml) merge back strictly
     c.model = "model3"
     c.seed = 0
     c.output_dir = "output"

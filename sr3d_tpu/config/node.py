@@ -49,22 +49,33 @@ class ConfigNode(dict):
     def clone(self) -> "ConfigNode":
         return copy.deepcopy(self)
 
-    def merge_from_other(self, other: Mapping[str, Any]) -> None:
-        """Recursive merge; scalars/lists overwrite, dicts recurse."""
+    def merge_from_other(self, other: Mapping[str, Any],
+                         strict: bool = False, _prefix: str = "") -> None:
+        """Recursive merge; scalars/lists overwrite, dicts recurse.
+
+        ``strict=True`` raises on keys absent from this tree (yacs
+        ``merge_from_file`` parity — a typo like ``smapler:`` must not be
+        silently ignored).  Non-strict merges still add new keys, which
+        internal code uses for ad-hoc extensions."""
         for k, v in other.items():
+            if k not in self and strict:
+                raise KeyError(
+                    f"unknown config key {_prefix}{k!r} (not in the "
+                    f"defaults schema — typo?)")
             if (
                 k in self
                 and isinstance(self[k], ConfigNode)
                 and isinstance(v, Mapping)
             ):
-                self[k].merge_from_other(v)
+                self[k].merge_from_other(v, strict=strict,
+                                         _prefix=f"{_prefix}{k}.")
             else:
                 self[k] = v
 
-    def merge_from_file(self, path: str) -> None:
+    def merge_from_file(self, path: str, strict: bool = True) -> None:
         with open(path, "r") as f:
             data = yaml.safe_load(f) or {}
-        self.merge_from_other(data)
+        self.merge_from_other(data, strict=strict)
 
     def merge_from_list(self, opts: list) -> None:
         """yacs-style ``[key, value, key, value, ...]`` override list.

@@ -75,3 +75,16 @@ def test_effective_parity_with_reference(ref_file):
                     f"{'.'.join(p)}: ours={our_node[k]!r} ref={want!r}"
 
     walk(ref, ours, schema)
+
+
+def test_unknown_yaml_key_rejected(tmp_path):
+    """yacs parity: a typo'd key in a user YAML raises instead of being
+    silently absorbed (reference merge_from_file behavior)."""
+    bad = tmp_path / "bad.yml"
+    bad.write_text("sr:\n  model:\n    diffusion:\n      smapler: ddim\n")
+    with pytest.raises(KeyError, match="smapler"):
+        update_cfg(get_cfg_defaults(), str(bad))
+    # non-strict merge still allows ad-hoc extension keys
+    cfg = get_cfg_defaults()
+    cfg.merge_from_file(str(bad), strict=False)
+    assert cfg.sr.model.diffusion.smapler == "ddim"
