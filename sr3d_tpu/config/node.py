@@ -88,6 +88,9 @@ class ConfigNode(dict):
             parts = str(key).split(".")
             for p in parts[:-1]:
                 node = node[p]
+            if parts[-1] not in node:
+                # yacs parity: a dotted override must name an existing key
+                raise KeyError(f"unknown config key {key!r}")
             node[parts[-1]] = yaml.safe_load(str(value))
 
     def to_dict(self) -> dict:
