@@ -208,3 +208,43 @@ def test_dpmpp_sde_variant(tiny_unet, tiny_schedule):
     one_sde = dpmpp_sample_loop(den, s, cond, k, num_steps=1, eta=1.0)
     np.testing.assert_allclose(np.asarray(one_ode), np.asarray(one_sde),
                                atol=1e-5)
+
+
+def test_strided_samplers_exact_with_oracle_denoiser():
+    """With an oracle eps-predictor (derived from the true x0), the
+    deterministic strided samplers must return x0 exactly at every step
+    count and init — a closed-form check on every update coefficient."""
+    from sr3d_tpu.diffusion.gaussian import ddim_sample_loop, dpmpp_sample_loop
+
+    s = make_schedule("linear", 40, 1e-3, 4e-2)
+    rng = np.random.RandomState(0)
+    x0 = jnp.asarray(rng.uniform(-0.9, 0.9, (2, 8, 8, 3)), jnp.float32)
+
+    def oracle(net_in, t):
+        img = net_in[..., 3:]          # conditional concat: [cond, x]
+        a = s.alphas_cumprod[t][:, None, None, None]
+        return (img - jnp.sqrt(a) * x0) / jnp.sqrt(1.0 - a)
+
+    for num_steps in (3, 7, 40):
+        for init in ("noise", "marginal"):
+            out_ddim = ddim_sample_loop(
+                oracle, s, x0, jax.random.PRNGKey(1), num_steps=num_steps,
+                eta=0.0, time_input="t", init=init)
+            np.testing.assert_allclose(np.asarray(out_ddim), np.asarray(x0),
+                                       atol=2e-5,
+                                       err_msg=f"ddim {num_steps} {init}")
+            out_dpm = dpmpp_sample_loop(
+                oracle, s, x0, jax.random.PRNGKey(1), num_steps=num_steps,
+                time_input="t", init=init)
+            np.testing.assert_allclose(np.asarray(out_dpm), np.asarray(x0),
+                                       atol=2e-5,
+                                       err_msg=f"dpm++ {num_steps} {init}")
+            # the SDE variant injects noise mid-trajectory but its x0
+            # prediction stays exact, and the terminal step (sigma_p=0)
+            # collapses to it — final output must still be x0
+            out_sde = dpmpp_sample_loop(
+                oracle, s, x0, jax.random.PRNGKey(1), num_steps=num_steps,
+                time_input="t", init=init, eta=1.0)
+            np.testing.assert_allclose(np.asarray(out_sde), np.asarray(x0),
+                                       atol=2e-4,
+                                       err_msg=f"dpm++sde {num_steps} {init}")
