@@ -31,7 +31,6 @@ def load_config(
     overrides: list | None = None,
 ) -> ConfigNode:
     cfg = get_cfg_defaults()
-    cfg.cfg_file = None
     if config_file is not None:
         cfg = update_cfg(cfg, config_file)
         cfg.cfg_file = config_file

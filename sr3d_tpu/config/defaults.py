@@ -27,8 +27,9 @@ def get_cfg_defaults() -> ConfigNode:
     c.log_eval = None
     c.sample = 1
     c.checkpoint = None
-    c.cfg_file = None   # set by the CLI; in-schema so dumped configs
-                        # (logs/config.yml) merge back strictly
+    c.cfg_file = None   # set by the CLI; in-schema so the dumped full
+                        # config tree (logs/full_config.yaml) merges back
+                        # strictly
     c.model = "model3"
     c.seed = 0
     c.output_dir = "output"

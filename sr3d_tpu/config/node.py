@@ -70,6 +70,13 @@ class ConfigNode(dict):
                 self[k].merge_from_other(v, strict=strict,
                                          _prefix=f"{_prefix}{k}.")
             else:
+                if strict and isinstance(v, Mapping) \
+                        and not isinstance(self.get(k), ConfigNode):
+                    # a mapping over a scalar/None schema key would absorb
+                    # its nested keys unvalidated — reject in strict mode
+                    raise KeyError(
+                        f"config key {_prefix}{k!r} is not a section; "
+                        f"got a mapping")
                 self[k] = v
 
     def merge_from_file(self, path: str, strict: bool = True) -> None:

@@ -88,3 +88,12 @@ def test_unknown_yaml_key_rejected(tmp_path):
     cfg = get_cfg_defaults()
     cfg.merge_from_file(str(bad), strict=False)
     assert cfg.sr.model.diffusion.smapler == "ddim"
+
+
+def test_strict_merge_rejects_mapping_over_scalar(tmp_path):
+    """Strict mode also rejects a mapping merged over a scalar/None schema
+    key — its nested keys would otherwise be absorbed unvalidated."""
+    bad = tmp_path / "bad2.yml"
+    bad.write_text("debug:\n  smapler: ddim\n")
+    with pytest.raises(KeyError, match="not a section"):
+        update_cfg(get_cfg_defaults(), str(bad))

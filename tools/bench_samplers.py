@@ -105,7 +105,9 @@ def main(argv=None) -> int:
     ost = opt.init(params)
 
     @jax.jit
-    def step(params, ost, k):
+    def step(params, ost, hr, cond, k):
+        # hr/cond are traced args, NOT closed over — closed-over arrays
+        # become HLO constants (CLAUDE.md: remote-compile HTTP 413)
         def lf(p):
             return p_losses_continuous(
                 lambda x, t: unet.apply(p, x, t), sched, hr, cond,
@@ -116,9 +118,12 @@ def main(argv=None) -> int:
 
     t0 = time.time()
     for i in range(args.steps):
-        params, ost, loss = step(params, ost, jax.random.PRNGKey(i))
+        params, ost, loss = step(params, ost, hr, cond,
+                                 jax.random.PRNGKey(i))
+    # barrier BEFORE reading the clock (CLAUDE.md timing rules)
+    l_final = float(jax.device_get(loss))
     print(f"trained {args.steps} steps in {time.time()-t0:.0f}s, "
-          f"l_pix {float(jax.device_get(loss)):.4f}", flush=True)
+          f"l_pix {l_final:.4f}", flush=True)
 
     den = lambda x, t: unet.apply(params, x, t)  # noqa: E731
     hr_u8 = np.asarray(tensor_to_uint8(val_hr))
