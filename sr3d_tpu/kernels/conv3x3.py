@@ -76,7 +76,7 @@ def conv3x3_pallas(x: jax.Array, w: jax.Array, row_tile: int = 16
         kernel,
         grid=(B, n_tiles),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),       # stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),       # stays in HBM
             pl.BlockSpec((3, 3, C, O), lambda b, t: (0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],

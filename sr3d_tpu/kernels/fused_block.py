@@ -127,7 +127,7 @@ def fused_gn_swish_conv3x3(x: jax.Array, gamma: jax.Array, beta: jax.Array,
         kernel,
         grid=(B, n_tiles),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),        # x stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),        # x stays in HBM
             pl.BlockSpec((B, Cp), lambda b_, t: (0, 0),
                          memory_space=pltpu.VMEM),       # a (tiny, full)
             pl.BlockSpec((B, Cp), lambda b_, t: (0, 0),
