@@ -7,7 +7,11 @@ with the reference.  Two configurations matter:
 * **Reference-semantics ancestral loop** (600-step DDPM, the reference's
   only sampler — model/sr/sr3_modules/diffusion.py:190-215): measured at
   **1.98 faces/s/chip** (PERF.md), conv-rate-bound at ≈96% of the
-  per-shape hardware bound.  This was the round-1/early-round-2 headline.
+  per-shape hardware bound.  This was the round-1/early-round-2 headline,
+  and it is RE-MEASURED here every run and reported as
+  ``ancestral_value``/``ancestral_vs_baseline`` in the same JSON line, so
+  the guaranteed-parity number stays in the driver-captured series
+  (VERDICT r2 #2) and rounds remain comparable.
 * **Quality-parity fast sampler** (this benchmark): stochastic DDIM-25
   with marginal initialization — measured ON-CHIP to EXCEED the ancestral
   loop's PSNR/SSIM on a trained model (28.51 vs 27.91 dB; PERF.md
@@ -51,7 +55,7 @@ DDIM_STEPS = 25
 
 
 def main():
-    from sr3d_tpu.diffusion.gaussian import ddim_sample_loop
+    from sr3d_tpu.diffusion.gaussian import ddim_sample_loop, p_sample_loop
     from sr3d_tpu.diffusion.schedules import make_schedule
     from sr3d_tpu.models.sr3_unet import SR3UNet
 
@@ -76,6 +80,14 @@ def main():
                                init="marginal")
         return jnp.sum(out.astype(jnp.float32))
 
+    @jax.jit
+    def sample_ancestral(params, cond, rng):
+        # the reference's only sampler: full 600-step DDPM reverse loop
+        # (model/sr/sr3_modules/diffusion.py:190-215)
+        out = p_sample_loop(lambda x, t: unet.apply(params, x, t),
+                            sched, cond, rng).final
+        return jnp.sum(out.astype(jnp.float32))
+
     # warmup/compile
     jax.device_get(sample(params, cond, jax.random.PRNGKey(1)))
 
@@ -84,14 +96,27 @@ def main():
     for i in range(n_runs):
         jax.device_get(sample(params, cond, jax.random.PRNGKey(2 + i)))
     dt = time.perf_counter() - t0
-
     faces_per_sec = n_runs * BATCH / dt
+
+    # reference-semantics ancestral number (24x the UNet calls: fewer runs)
+    jax.device_get(sample_ancestral(params, cond, jax.random.PRNGKey(1)))
+    n_anc = 3
+    t0 = time.perf_counter()
+    for i in range(n_anc):
+        jax.device_get(sample_ancestral(params, cond,
+                                        jax.random.PRNGKey(20 + i)))
+    dt_anc = time.perf_counter() - t0
+    anc_faces_per_sec = n_anc * BATCH / dt_anc
+
     print(json.dumps({
         "metric": "sr3_16to128_sampling_throughput_quality_parity",
         "value": round(faces_per_sec, 4),
         "unit": "faces/sec/chip",
         "vs_baseline": round(
             faces_per_sec / H100_SINGLE_STREAM_FACES_PER_SEC, 2),
+        "ancestral_value": round(anc_faces_per_sec, 4),
+        "ancestral_vs_baseline": round(
+            anc_faces_per_sec / H100_SINGLE_STREAM_FACES_PER_SEC, 2),
     }))
 
 

@@ -153,6 +153,39 @@ def point_to_surface_distance(points: np.ndarray, verts: np.ndarray,
     return d.min(axis=1)
 
 
+def mask_scan_points(scan_mm: np.ndarray, mask: np.ndarray | None = None,
+                     lmk7_mm: np.ndarray | None = None,
+                     radius_mm: float | None = None) -> np.ndarray:
+    """Face-region masking of a raw GT scan — the official NoW protocol
+    computes distances only over the *masked* (face-cropped) scan region
+    (the reference outsources this to ``now_validation.sh``, which consumes
+    pre-masked scans — lib/MICA/micalib/validator.py:180-195).  Feeding a
+    full raw head/bust scan inflates the error with hair/neck/shoulder
+    points that have no counterpart on the FLAME face mesh.
+
+    ``mask`` may be a boolean array over scan points or an integer index
+    array (the NoW release ships per-scan face-region index masks).
+    Alternatively ``radius_mm`` crops to points within that distance of the
+    7-landmark centroid — a reasonable stand-in when no official mask is
+    available (the face fits comfortably in ~95 mm).  Explicit ``mask``
+    wins when both are given."""
+    if mask is not None:
+        mask = np.asarray(mask)
+        if mask.dtype == np.bool_:
+            if mask.shape[0] != scan_mm.shape[0]:
+                raise ValueError(
+                    f"boolean scan mask has {mask.shape[0]} entries for "
+                    f"{scan_mm.shape[0]} scan points")
+            return scan_mm[mask]
+        return scan_mm[mask.astype(np.int64).ravel()]
+    if radius_mm is not None:
+        if lmk7_mm is None:
+            raise ValueError("radius_mm cropping needs the scan's lmk7")
+        d = np.linalg.norm(scan_mm - np.asarray(lmk7_mm).mean(0), axis=-1)
+        return scan_mm[d <= float(radius_mm)]
+    return scan_mm
+
+
 def now_distance(pred_verts_mm: np.ndarray, pred_lmk7_mm: np.ndarray,
                  scan_points_mm: np.ndarray,
                  scan_lmk7_mm: np.ndarray,
@@ -280,7 +313,8 @@ class Tester:
     @staticmethod
     def evaluate_now(pred_dir: str | os.PathLike,
                      gt_dir: str | os.PathLike,
-                     point_to_surface: bool = True) -> dict:
+                     point_to_surface: bool = True,
+                     face_crop_radius_mm: float | None = None) -> dict:
         """Score a :meth:`run` submission tree against per-SUBJECT GT scans
         — the official NoW protocol: predictions at
         ``predicted_meshes/{subject}/{challenge}/{image}.ply`` (+ ``.npy``
@@ -289,7 +323,16 @@ class Tester:
         subject is compared to it).  Statistics are computed over ALL
         distances pooled (``np.median(np.hstack(errors))`` — reference
         lib/MICA/micalib/validator.py:187-190), not per-scan means; uses
-        the official masked point-to-surface distance by default."""
+        the official masked point-to-surface distance by default.
+
+        **Scan face-masking** (the official protocol scores only the face
+        region of the scan): if ``{gt_dir}/{subject}/mask.npy`` exists it
+        is applied to the scan points first (boolean [P] or integer index
+        array — the NoW release's face-region masks); otherwise, when
+        ``face_crop_radius_mm`` is given, the scan is cropped to points
+        within that radius of its 7-landmark centroid.  A *raw* (unmasked)
+        full-head scan with neither yields inflated errors — hair/neck
+        points have no FLAME counterpart (see :func:`mask_scan_points`)."""
         pred_root = Path(pred_dir)
         if (pred_root / "predicted_meshes").is_dir():
             pred_root = pred_root / "predicted_meshes"
@@ -303,6 +346,10 @@ class Tester:
                 continue
             scan = np.load(gt / "scan.npy")
             gt7 = np.load(gt / "lmk7.npy")
+            mask = (np.load(gt / "mask.npy")
+                    if (gt / "mask.npy").exists() else None)
+            scan = mask_scan_points(scan, mask=mask, lmk7_mm=gt7,
+                                    radius_mm=face_crop_radius_mm)
             for ply in sorted(subject.rglob("*.ply")):
                 verts, faces = read_ply(ply)
                 lmk7 = np.load(ply.with_suffix(".npy"))
