@@ -111,11 +111,15 @@ def run_sr_only(cfg, max_steps=None):
             split="train", data_len=int(tr.get("data_len", -1)),
             use_flip=bool(tr.get("use_flip", True)), seed=int(cfg.seed))
     else:
+        # img reads dirs; lmdb reads the reference environment live via
+        # the pure-Python parser; anything else raises (never a silent
+        # fall-through to dir scanning)
         ds = data_lib.LRHRDataset(
             dataroot=tr.dataroot, l_resolution=int(tr.l_resolution),
             r_resolution=int(tr.r_resolution), split="train",
             data_len=int(tr.get("data_len", -1)),
-            use_flip=bool(tr.get("use_flip", True)), seed=int(cfg.seed))
+            use_flip=bool(tr.get("use_flip", True)), seed=int(cfg.seed),
+            datatype=str(tr.get("datatype", "img")))
     loader = data_lib.BatchLoader(ds, batch_size=int(tr.batch_size),
                                   shuffle=True, seed=int(cfg.seed))
     step_fn = jax.jit(m.make_train_step(), donate_argnums=0)

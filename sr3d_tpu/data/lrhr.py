@@ -79,7 +79,14 @@ def transform_augment(imgs: list[np.ndarray], split: str = "val",
 
 
 class LRHRDataset:
-    """Returns dict(HR, SR, [LR], Index, path_sr) per item."""
+    """Returns dict(HR, SR, [LR], Index, path_sr) per item.
+
+    ``datatype`` mirrors the reference LRHR_dataset.py:18-43: ``img`` scans
+    ``{root}/{sr_l_r,hr_r,[lr_l]}`` image dirs; ``lmdb`` reads a reference
+    LMDB environment live through the pure-Python parser
+    (:mod:`sr3d_tpu.data.lmdb_reader` — the ``lmdb`` package is never
+    needed); anything else raises ``NotImplementedError`` exactly like the
+    reference (never a silent fall-through to dir scanning)."""
 
     def __init__(
         self,
@@ -91,40 +98,100 @@ class LRHRDataset:
         need_LR: bool = False,
         use_flip: bool = True,
         seed: int = 0,
+        datatype: str = "img",
     ):
         self.l_res = l_resolution
         self.r_res = r_resolution
         self.need_LR = need_LR
         self.split = split
         self.use_flip = use_flip
+        self.datatype = datatype
         self._rng = PerItemRng(seed)
 
         root = Path(dataroot)
-        self.sr_paths = get_paths_from_images(
-            root / f"sr_{l_resolution}_{r_resolution}")
-        self.hr_paths = get_paths_from_images(root / f"hr_{r_resolution}")
-        if need_LR:
-            self.lr_paths = get_paths_from_images(root / f"lr_{l_resolution}")
+        if datatype == "lmdb":
+            from .lmdb_reader import LmdbReader
 
-        self.dataset_len = len(self.hr_paths)
+            self._env = LmdbReader(root)
+            raw = self._env.get(b"length")
+            if raw is None:
+                raise KeyError(
+                    f"{root}: LMDB has no 'length' key — not a reference "
+                    "SR dataset environment")
+            self.dataset_len = int(raw)
+            self.sr_paths = None
+        elif datatype == "img":
+            self.sr_paths = get_paths_from_images(
+                root / f"sr_{l_resolution}_{r_resolution}")
+            self.hr_paths = get_paths_from_images(root / f"hr_{r_resolution}")
+            if need_LR:
+                self.lr_paths = get_paths_from_images(
+                    root / f"lr_{l_resolution}")
+            self.dataset_len = len(self.hr_paths)
+        else:
+            raise NotImplementedError(
+                f"data_type [{datatype}] is not recognized "
+                "(use 'img', 'lmdb', or datatype: srpk at the config level)")
         self.data_len = (self.dataset_len if data_len <= 0
                          else min(data_len, self.dataset_len))
 
     def __len__(self) -> int:
         return self.data_len
 
+    def _lmdb_images(self, index: int):
+        """hr/sr/[lr] arrays for ``index``, resampling invalid indices like
+        the reference (LRHR_dataset.py:67-70) — deterministically, via the
+        same per-item RNG that drives the flip augmentation."""
+        import io as _io
+
+        from PIL import Image
+
+        def fetch(i):
+            hr = self._env.get(f"hr_{self.r_res}_{i:05d}".encode())
+            sr = self._env.get(
+                f"sr_{self.l_res}_{self.r_res}_{i:05d}".encode())
+            lr = (self._env.get(f"lr_{self.l_res}_{i:05d}".encode())
+                  if self.need_LR else None)
+            return hr, sr, lr
+
+        hr_b, sr_b, lr_b = fetch(index)
+        rng = None
+        for _ in range(4 * self.data_len):
+            if hr_b is not None and sr_b is not None:
+                break
+            rng = rng or self._rng.for_item(index)
+            hr_b, sr_b, lr_b = fetch(int(rng.randint(0, self.data_len)))
+        else:
+            raise RuntimeError(
+                f"{self._env.path}: could not find a valid hr/sr record "
+                f"pair after resampling (started at index {index})")
+
+        def dec(raw):
+            arr = np.asarray(Image.open(_io.BytesIO(raw)).convert("RGB"),
+                             dtype=np.float32)
+            return arr / 127.5 - 1.0
+
+        return dec(hr_b), dec(sr_b), (dec(lr_b) if lr_b is not None
+                                      else None)
+
     def __getitem__(self, index: int) -> dict:
-        hr = load_image_m11(self.hr_paths[index])
-        sr = load_image_m11(self.sr_paths[index])
-        lr = load_image_m11(self.lr_paths[index]) if self.need_LR else None
+        if self.datatype == "lmdb":
+            hr, sr, lr = self._lmdb_images(index)
+        else:
+            hr = load_image_m11(self.hr_paths[index])
+            sr = load_image_m11(self.sr_paths[index])
+            lr = (load_image_m11(self.lr_paths[index])
+                  if self.need_LR else None)
         if self.split == "train" and self.use_flip:
             group = [hr, sr] + ([lr] if lr is not None else [])
             group = transform_augment(group, "train",
                                       self._rng.for_item(index))
             hr, sr = group[0], group[1]
             lr = group[2] if lr is not None else None
-        item = {"HR": hr, "SR": sr, "Index": index,
-                "path_sr": str(self.sr_paths[index])}
+        path_sr = (f"lmdb:sr_{self.l_res}_{self.r_res}_{index:05d}"
+                   if self.datatype == "lmdb"
+                   else str(self.sr_paths[index]))
+        item = {"HR": hr, "SR": sr, "Index": index, "path_sr": path_sr}
         if lr is not None:
             item["LR"] = lr
         return item

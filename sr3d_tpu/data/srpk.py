@@ -318,13 +318,18 @@ def migrate_lmdb_records(get, length: int, l_res: int, r_res: int,
 def migrate_lmdb(lmdb_dir, out_root, l_res: int, r_res: int) -> dict:
     """Migrate an existing reference LMDB dataset to SRPK stores
     (VERDICT r1 #9: reference LMDBs were unreadable by this framework).
-    Requires the ``lmdb`` package only here — reading SRPK never does."""
+    Prefers the ``lmdb`` package when installed; otherwise falls back to
+    the pure-Python parser (:mod:`sr3d_tpu.data.lmdb_reader`), so the
+    migration works in images — like this one — where lmdb is absent."""
     try:
         import lmdb
-    except ImportError as e:  # pragma: no cover — lmdb not in this image
-        raise ImportError(
-            "lmdb package required for migration: pip install lmdb "
-            "(reading the migrated .srpk stores does not need it)") from e
+    except ImportError:
+        from .lmdb_reader import LmdbReader
+
+        with LmdbReader(lmdb_dir) as r:
+            length = int(r.get(b"length"))
+            return migrate_lmdb_records(r.get, length, l_res, r_res,
+                                        out_root)
     env = lmdb.open(str(lmdb_dir), readonly=True, lock=False,
                     readahead=False, meminit=False)
     with env.begin(write=False) as txn:

@@ -407,12 +407,15 @@ class Trainer:
                 int(cfg.sr.datasets.val.l_resolution),
                 int(cfg.sr.datasets.val.r_resolution), need_LR=True)
         else:
+            # img scans dirs; lmdb reads the reference environment live
+            # (pure-Python parser); unknown datatypes raise loudly
             val = data_lib.LRHRDataset(
                 dataroot=cfg.sr.datasets.val.dataroot,
                 l_resolution=int(cfg.sr.datasets.val.l_resolution),
                 r_resolution=int(cfg.sr.datasets.val.r_resolution),
                 split="val", data_len=int(cfg.sr.datasets.val.data_len),
-                need_LR=True)
+                need_LR=True,
+                datatype=str(cfg.sr.datasets.val.get("datatype", "img")))
         self.val_loader = data_lib.BatchLoader(
             val, batch_size=1, shuffle=False, num_workers=0, drop_last=False)
 
