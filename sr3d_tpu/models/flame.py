@@ -170,6 +170,77 @@ def synthetic_flame(
     )
 
 
+def write_reference_format_assets(
+    out_dir: str,
+    n_vertices: int = 64,
+    seed: int = 0,
+) -> dict[str, str]:
+    """Write a miniature FLAME asset set in the REAL on-disk formats —
+    ``generic_model.pkl`` (dict with 400-column shapedirs, kintree_table,
+    posedirs [V,3,36], …), ``landmark_embedding.npy`` (pickled dict) and
+    ``FLAME_masks.pkl`` — so the full :func:`load_flame` /
+    utils/bootstrap.py discovery+install chain is exercisable without the
+    licensed FLAME2020 download (reference file formats:
+    model/mica/flame.py:52-109, lib/MICA/utils/masking.py:42-60).
+
+    Returns ``{"flame_model": ..., "lmk_embedding": ..., "masks": ...}``.
+    """
+    import os
+
+    from .masking import synthetic_masks
+
+    rng = np.random.RandomState(seed)
+    J = 5
+    F = max(2 * n_vertices, 64)
+    kintree = np.zeros((2, J), dtype=np.uint32)
+    kintree[0] = np.array([4294967295, 0, 1, 1, 1], dtype=np.uint32)
+    kintree[1] = np.arange(J, dtype=np.uint32)
+    jreg = rng.rand(J, n_vertices).astype(np.float64)
+    jreg /= jreg.sum(1, keepdims=True)
+    lbs_w = rng.rand(n_vertices, J).astype(np.float64)
+    lbs_w /= lbs_w.sum(1, keepdims=True)
+    model = {
+        "v_template": rng.randn(n_vertices, 3) * 0.1,
+        "f": rng.randint(0, n_vertices, size=(F, 3)).astype(np.uint32),
+        # the real pickle always carries 300 shape + 100 expression columns;
+        # load_flame slices [:n_shape] and [300:]
+        "shapedirs": rng.randn(n_vertices, 3, 400) * 1e-2,
+        "posedirs": rng.randn(n_vertices, 3, (J - 1) * 9) * 1e-3,
+        "kintree_table": kintree,
+        "J_regressor": jreg,
+        "weights": lbs_w,
+    }
+
+    def bary(*shape):
+        b = rng.rand(*shape, 3).astype(np.float32)
+        return b / b.sum(-1, keepdims=True)
+
+    lmk = {
+        "static_lmk_faces_idx": rng.randint(0, F, size=(51,)).astype(np.int64),
+        "static_lmk_bary_coords": bary(51),
+        "dynamic_lmk_faces_idx": rng.randint(
+            0, F, size=(79, 17)).astype(np.int64),
+        "dynamic_lmk_bary_coords": bary(79, 17),
+        # the real npy stores these with a leading singleton dim
+        "full_lmk_faces_idx": rng.randint(0, F, size=(1, 68)).astype(np.int64),
+        "full_lmk_bary_coords": bary(1, 68),
+    }
+
+    os.makedirs(out_dir, exist_ok=True)
+    paths = {
+        "flame_model": os.path.join(out_dir, "generic_model.pkl"),
+        "lmk_embedding": os.path.join(out_dir, "landmark_embedding.npy"),
+        "masks": os.path.join(out_dir, "FLAME_masks.pkl"),
+    }
+    with open(paths["flame_model"], "wb") as f:
+        pickle.dump(model, f)
+    np.save(paths["lmk_embedding"], np.asarray(lmk, dtype=object),
+            allow_pickle=True)
+    with open(paths["masks"], "wb") as f:
+        pickle.dump(synthetic_masks(n_vertices, seed=seed), f)
+    return paths
+
+
 # --------------------------------------------------------------------------
 # forward
 # --------------------------------------------------------------------------

@@ -1,0 +1,167 @@
+"""Asset-gated end-to-end check on the REAL proprietary artifacts.
+
+Skipped by default.  To run, mount/download the assets and point
+``SR3D_ASSETS`` at a directory containing any of:
+
+* ``backbone.pth``                — insightface ArcFace r100 weights
+* ``generic_model.pkl``, ``landmark_embedding.npy``, ``FLAME_masks.pkl``
+                                  — FLAME2020 release files
+* ``I*_E*_gen.pth`` [+ ``_opt.pth``] — a reference SR3 checkpoint
+* a MICA combined ``*.tar``       — ``{'arcface', 'flameModel'}``
+
+then::
+
+    SR3D_ASSETS=/path/to/assets python -m pytest tests/test_real_assets.py -q
+
+Each present artifact is converted + forward-parity verified through
+``sr3d_tpu.utils.bootstrap`` and then driven through the actual inference
+chain (ArcFace embed → mapping → FLAME decode; SR3 UNet → short DDIM
+sample).  See README "Real pretrained assets".
+"""
+
+import json
+import os
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+ASSETS = os.environ.get("SR3D_ASSETS", "")
+pytestmark = pytest.mark.skipif(
+    not (ASSETS and os.path.isdir(ASSETS)),
+    reason="SR3D_ASSETS not set to an assets directory")
+
+
+@pytest.fixture(scope="module")
+def converted(tmp_path_factory):
+    from sr3d_tpu.utils import bootstrap
+
+    out = tmp_path_factory.mktemp("real_assets")
+    rc = bootstrap.main(["--assets", ASSETS, "--out", str(out)])
+    assert rc == 0
+    return out
+
+
+@pytest.fixture(scope="module")
+def manifest(converted):
+    return json.loads((converted / "manifest.json").read_text())
+
+
+def _kinds(manifest):
+    return {e["kind"]: e for e in manifest["artifacts"]}
+
+
+def test_everything_present_was_verified(manifest):
+    assert manifest["artifacts"], "no artifacts converted"
+    for e in manifest["artifacts"]:
+        assert e["verified"] in ("forward-parity", "structural", "loaded")
+
+
+def test_arcface_real_chain(converted, manifest):
+    if "arcface" not in _kinds(manifest):
+        pytest.skip("no backbone.pth in assets")
+    import jax
+    import jax.numpy as jnp
+
+    from sr3d_tpu.models.arcface import IResNet
+    from sr3d_tpu.train.checkpoint import load_arcface_npz
+
+    net = IResNet(dtype=jnp.float32)  # r100 default (3,13,30,3)
+    tpl = jax.eval_shape(net.init, jax.random.PRNGKey(0),
+                         jnp.zeros((1, 112, 112, 3)))
+    params, stats = load_arcface_npz(converted / "arcface.npz",
+                                     tpl["params"], tpl["batch_stats"])
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 112, 112, 3)
+                    .astype(np.float32) * 0.3)
+    emb = net.apply({"params": jax.tree.map(jnp.asarray, params),
+                     "batch_stats": jax.tree.map(jnp.asarray, stats)}, x)
+    emb = np.asarray(emb)
+    assert emb.shape == (2, 512) and np.isfinite(emb).all()
+    # a trained embedder separates distinct random inputs
+    cos = float((emb[0] @ emb[1]) /
+                (np.linalg.norm(emb[0]) * np.linalg.norm(emb[1]) + 1e-8))
+    assert abs(cos) < 0.999
+
+
+def test_flame_real_decode(converted, manifest):
+    if "flame/generic_model.pkl" not in _kinds(manifest):
+        pytest.skip("no FLAME2020 files in assets")
+    import jax.numpy as jnp
+
+    from sr3d_tpu.models.flame import flame_forward, load_flame
+
+    fl = converted / "FLAME2020"
+    fm = load_flame(str(fl / "generic_model.pkl"),
+                    str(fl / "landmark_embedding.npy"), n_shape=300)
+    assert fm.n_vertices == 5023 and fm.faces.shape[0] == 9976
+    verts, lmk2d, lmk3d = flame_forward(fm, jnp.zeros((1, 300)))
+    verts = np.asarray(verts)
+    np.testing.assert_allclose(verts[0], np.asarray(fm.v_template),
+                               atol=1e-4)
+    assert lmk3d.shape == (1, 68, 3)
+
+
+def test_sr_real_sample(converted, manifest):
+    if "sr3_unet" not in _kinds(manifest):
+        pytest.skip("no SR checkpoint in assets")
+    import jax
+    import jax.numpy as jnp
+
+    from sr3d_tpu.diffusion.gaussian import ddim_sample_loop
+    from sr3d_tpu.diffusion.schedules import make_schedule
+    from sr3d_tpu.models.sr3_unet import SR3UNet
+    from sr3d_tpu.train.checkpoint import load_leaves_into
+
+    e = _kinds(manifest)["sr3_unet"]
+    s = e["structure"]
+    size = 128
+    net = SR3UNet(in_channel=s["in_channel"], out_channel=s["out_channel"],
+                  inner_channel=s["inner_channel"],
+                  channel_mults=tuple(s["channel_mults"]),
+                  res_blocks=s["res_blocks"], dropout=0.0,
+                  image_size=size, dtype=jnp.bfloat16)
+    tpl = jax.eval_shape(net.init, jax.random.PRNGKey(0),
+                         jnp.zeros((1, size, size, s["in_channel"])),
+                         jnp.zeros((1, 1)))
+    params = load_leaves_into(converted / "sr_gen.npz", tpl)
+    params = jax.tree.map(jnp.asarray, params)
+
+    # flagship schedule (config/sr_sr3_VGGF2_16_128_model2.yml:52)
+    sched = make_schedule("linear", n_timestep=600, linear_start=1e-6,
+                          linear_end=1e-2)
+    lr_up = jnp.asarray(np.random.RandomState(1)
+                        .rand(1, size, size, 3).astype(np.float32) * 2 - 1)
+    sr = ddim_sample_loop(lambda x, t: net.apply(params, x, t), sched,
+                          lr_up, jax.random.PRNGKey(0), num_steps=5,
+                          eta=1.0, init="marginal")
+    sr = np.asarray(sr)
+    assert sr.shape == (1, size, size, 3) and np.isfinite(sr).all()
+
+
+def test_mapping_real_chain(converted, manifest):
+    ks = _kinds(manifest)
+    if "mapping" not in ks or "flame/generic_model.pkl" not in ks:
+        pytest.skip("needs a MICA tar + FLAME2020 files")
+    import jax
+    import jax.numpy as jnp
+
+    from sr3d_tpu.models.flame import flame_forward, load_flame
+    from sr3d_tpu.models.mapping import MappingNetwork
+    from sr3d_tpu.train.checkpoint import load_leaves_into
+
+    net = MappingNetwork(z_dim=512, map_hidden_dim=300, map_output_dim=300,
+                         hidden=3)
+    tpl = jax.eval_shape(net.init, jax.random.PRNGKey(0),
+                         jnp.zeros((1, 512)))
+    params = load_leaves_into(converted / "mapping.npz", tpl)
+    z = jnp.asarray(np.random.RandomState(2).randn(1, 512)
+                    .astype(np.float32))
+    z = z / jnp.linalg.norm(z)
+    shape = net.apply(jax.tree.map(jnp.asarray, params), z)
+    assert shape.shape == (1, 300)
+
+    fl = converted / "FLAME2020"
+    fm = load_flame(str(fl / "generic_model.pkl"),
+                    str(fl / "landmark_embedding.npy"), n_shape=300)
+    verts, _, _ = flame_forward(fm, shape)
+    assert np.isfinite(np.asarray(verts)).all()
