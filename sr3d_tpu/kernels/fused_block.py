@@ -42,7 +42,10 @@ def gn_affine_coeffs(sum_c: jax.Array, sq_c: jax.Array, gamma: jax.Array,
     C = sum_c.shape[-1]
     onehot = _group_onehot(C, num_groups)
     g_mean = (sum_c @ onehot) / n_per_group                  # [B, G]
-    g_var = (sq_c @ onehot) / n_per_group - g_mean * g_mean
+    # clamp: one-pass cancellation can go negative for near-constant maps
+    # (see kernels/groupnorm_swish.py) — rsqrt(neg) would be NaN
+    g_var = jnp.maximum(
+        (sq_c @ onehot) / n_per_group - g_mean * g_mean, 0.0)
     mean_c = g_mean @ onehot.T                               # [B, C]
     rstd_c = jax.lax.rsqrt(g_var + eps) @ onehot.T
     a = rstd_c * gamma.astype(jnp.float32)[None, :]

@@ -121,7 +121,14 @@ def groupnorm_swish_reference(x: jax.Array, gamma: jax.Array, beta: jax.Array,
     sum_c = jnp.sum(xf, axis=(1, 2))               # [B, C]
     sq_c = jnp.sum(xf * xf, axis=(1, 2))           # [B, C]
     g_mean = (sum_c @ onehot) / n                  # [B, G]
-    g_var = (sq_c @ onehot) / n - g_mean * g_mean
+    # one-pass E[x²]−E[x]² cancels catastrophically for near-constant maps
+    # with large mean (f32 error ≳ true var): measured var = −51 for a
+    # CONSTANT bf16 map at magnitude ~2285, i.e. rsqrt → NaN.  This is not
+    # hypothetical — it NaN'd 1/32 images at t≤3 of flagship ancestral
+    # sampling (nearly-clean inputs ⇒ near-constant activations).  Clamp to
+    # 0: when cancellation dominates, true var ≲ the f32 error anyway, so
+    # normalising with rsqrt(eps) is the correct limit.
+    g_var = jnp.maximum((sq_c @ onehot) / n - g_mean * g_mean, 0.0)
     mean_c = g_mean @ onehot.T                     # [B, C]
     rstd_c = jax.lax.rsqrt(g_var + eps) @ onehot.T
 
@@ -152,7 +159,9 @@ def _gn_swish_kernel(x_ref, gamma_ref, beta_ref, out_ref, *,
                      preferred_element_type=jnp.float32) / n   # [1, G]
     g_sqmean = jnp.dot(sqsum_c, onehot,
                        preferred_element_type=jnp.float32) / n
-    g_var = g_sqmean - g_mean * g_mean
+    # clamp: one-pass cancellation can go negative for near-constant maps
+    # (see groupnorm_swish_reference) — rsqrt(neg) would be NaN
+    g_var = jnp.maximum(g_sqmean - g_mean * g_mean, 0.0)
 
     mean_c = jnp.dot(g_mean, onehot.T,
                      preferred_element_type=jnp.float32)       # [1, C]

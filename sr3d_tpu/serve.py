@@ -141,6 +141,44 @@ class Predictor:
                    mesh=mesh, spatial=spatial)
 
     # ------------------------------------------------------------------
+    @staticmethod
+    def enable_compile_cache(cache_dir: str) -> None:
+        """Persist compiled executables across processes (cold-start fix).
+
+        The serving program's one-time compile is expensive on the target
+        runtime (remote XLA compile through the tunnel: 100s+ for sampling
+        graphs, PERF.md "serving cold start").  Pointing JAX's persistent
+        compilation cache at a directory makes every later process load the
+        serialized executable instead of recompiling.  Call BEFORE building
+        the Predictor (any jit compiled earlier won't be cached).
+        """
+        jax.config.update("jax_compilation_cache_dir", str(cache_dir))
+        # cache everything — serving graphs are few and large
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+        try:
+            # the cache object initialises lazily at the FIRST compile; if
+            # this process already compiled anything (e.g. a prior cache
+            # dir), drop the instance so the new dir takes effect
+            from jax._src import compilation_cache as _cc
+
+            _cc.reset_cache()
+        except Exception:  # pragma: no cover — internal API drift
+            pass
+
+    def warmup(self, rng: jax.Array | None = None) -> float:
+        """Compile (or cache-load) the full serving program by running one
+        dummy padded batch end-to-end; returns wall seconds.  With
+        :meth:`enable_compile_cache` this is the only request that pays the
+        cold start — and only in the first process ever."""
+        import time
+
+        t0 = time.time()
+        dummy = np.zeros((1, self.lr, self.lr, 3), np.uint8)
+        self.predict(dummy, rng)
+        return time.time() - t0
+
+    # ------------------------------------------------------------------
     def _prep_cond(self, lr_imgs: np.ndarray) -> np.ndarray:
         """uint8 or [-1,1] LR batch → bicubic-upsampled conditioning
         (the offline prep tool's sr_{l}_{r} transform, on device)."""
@@ -261,12 +299,26 @@ def main(argv=None) -> int:
     ap.add_argument("--input", required=True, help="directory of LR images")
     ap.add_argument("--out", required=True)
     ap.add_argument("--sampler", default=None,
-                    choices=["ddpm", "ddim", "dpm++"])
+                    choices=["ddpm", "ddim", "dpm++"],
+                    help="ddim (eta=1, marginal init) matches ancestral "
+                         "ddpm quality at a fraction of the steps; dpm++ "
+                         "is faster at equal steps but measurably WORSE "
+                         "quality on this model family (PERF.md 'sampler "
+                         "quality') — prefer ddim unless latency-bound")
     ap.add_argument("--steps", type=int, default=None,
                     help="strided sampler step count (ddim/dpm++)")
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--ema", action="store_true")
+    ap.add_argument("--warmup-cache", default=None, metavar="DIR",
+                    help="persistent compile-cache dir: the first run pays "
+                         "the one-time XLA compile and serializes the "
+                         "executable there; every later process cold-starts "
+                         "from the cache instead of recompiling (measured "
+                         "in PERF.md 'serving cold start')")
     args = ap.parse_args(argv)
+
+    if args.warmup_cache:
+        Predictor.enable_compile_cache(args.warmup_cache)
 
     cfg = get_cfg_defaults()
     if args.cfg:
@@ -282,6 +334,9 @@ def main(argv=None) -> int:
     predictor = Predictor.from_config(cfg, checkpoint=args.checkpoint,
                                       batch_size=int(args.batch),
                                       use_ema=bool(args.ema))
+    if args.warmup_cache:
+        wt = predictor.warmup()
+        print(f"warmup (compile or cache load): {wt:.1f}s")
     t0 = time.perf_counter()
     n = predictor.export(imgs, args.out, names=names)
     dt = time.perf_counter() - t0

@@ -196,7 +196,14 @@ class Trainer:
             logger.warning(
                 "train.val_use_ema=True but sr.train.ema_scheduler is "
                 "disabled — no EMA state exists; val uses live params")
-        self._val_step = jax.jit(make_val_step(use_ema=val_use_ema))
+        # Explicit mesh shardings on the val path too (VERDICT r2 #7): state
+        # stays in its TP layout at the call boundary — no implicit per-call
+        # resharding — and the B=1 per-sample val batch (reference protocol:
+        # val_loader batch_size=1) is replicated.  Outputs inherit.
+        self._val_step = jax.jit(
+            make_val_step(use_ema=val_use_ema),
+            in_shardings=(self._repl, self._state_shardings, self._repl,
+                          self._repl))
 
         # the reference keeps every I*_E*_checkpoint.pth; we rotate (orbax
         # default) but make the retention configurable — 0/negative = keep all
@@ -207,7 +214,20 @@ class Trainer:
                                     save_fn=self._save_best)
         self.best_model_loss: float | None = None  # plain combined best
         self._best_psnr = -float("inf")            # extra signal, not keying
-        self._eval_step = jax.jit(make_eval_step())
+        # evaluate_MICA batches are full val batches → DP-shard them like
+        # the train step; the replicated variant covers a final/odd batch
+        # whose leading dim doesn't divide the data axis (jit in_shardings
+        # require divisibility).  Both keep the state in its TP layout.
+        self._eval_step_dp = jax.jit(
+            make_eval_step(),
+            in_shardings=(self._repl, self._state_shardings,
+                          self._batch_sharding, self._repl),
+            out_shardings=self._repl)
+        self._eval_step_repl = jax.jit(
+            make_eval_step(),
+            in_shardings=(self._repl, self._state_shardings, self._repl,
+                          self._repl),
+            out_shardings=self._repl)
         self._rng = jax.random.PRNGKey(int(cfg.seed) + 1)
 
         from ..utils.logging import MetricsWriter
@@ -537,6 +557,16 @@ class Trainer:
                         "epoch": self.epoch})
         logger.info("[BEST] saved %s @ step %d", tag, self.global_step)
 
+    def _eval_step(self, jit_batch: dict, rng) -> dict:
+        """Dispatch to the DP-sharded eval jit, falling back to the
+        replicated-batch variant when the (last, partial) batch's leading
+        dim doesn't divide the data axis."""
+        dp = int(self.mesh.shape[mesh_lib.DATA_AXIS])
+        lead = int(np.shape(next(iter(jit_batch.values())))[0])
+        fn = (self._eval_step_dp if lead % dp == 0
+              else self._eval_step_repl)
+        return fn(self.modules, self.state, jit_batch, rng)
+
     def evaluate_MICA(self) -> dict:
         """Combined-loss validation over the held-out 20%% joint split
         (reference evaluate_MICA, lib/trainer_temp.py:464-505): no-grad
@@ -553,7 +583,7 @@ class Trainer:
             jit_batch = {k: batch[k] for k in ("HR", "SR", "flame_shape")
                          if k in batch}
             eval_rng, k = jax.random.split(eval_rng)
-            m = self._eval_step(self.modules, self.state, jit_batch, k)
+            m = self._eval_step(jit_batch, k)
             acc.append({key: float(v) for key, v in m.items()})
         if not acc:
             return {}

@@ -206,3 +206,34 @@ def test_fused_block_interpret_matches_reference():
         got = fused_gn_swish_conv3x3(x, gamma, beta, w, b, G, interpret=True)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    atol=1e-4)
+
+
+def test_gn_near_constant_large_mean_no_nan():
+    """Regression: the one-pass E[x²]−E[x]² group variance goes NEGATIVE in
+    f32 for near-constant bf16 maps with large mean (measured −51 for a
+    constant map at ~2285), and rsqrt(neg) NaN'd 1/32 images at the final
+    (t≤3, nearly-clean) steps of flagship ancestral sampling.  The clamp
+    must keep every variant finite, and a genuinely constant map must
+    normalise to ~swish(β)."""
+    from sr3d_tpu.kernels.fused_block import gn_affine_coeffs
+    from sr3d_tpu.kernels.groupnorm_swish import groupnorm_swish_reference
+
+    C, G = 64, 32
+    gamma = jnp.ones((C,), jnp.float32)
+    beta = jnp.full((C,), 0.3, jnp.float32)
+    for c in (2285.4912, 1862.8314, 3861.9184):  # measured negative-var hits
+        x = jnp.full((1, 32, 32, C), jnp.asarray(c, jnp.bfloat16),
+                     jnp.bfloat16)
+        out = groupnorm_swish_reference(x, gamma, beta, G)
+        assert np.isfinite(np.asarray(out, np.float32)).all(), c
+        # constant map → normalised ≈ 0 → affine ≈ β → swish(β)
+        want = 0.3 * (1 / (1 + np.exp(-0.3)))
+        np.testing.assert_allclose(np.asarray(out, np.float32).ravel()[0],
+                                   want, atol=0.05)
+
+        xf = x.astype(jnp.float32)
+        a, b = gn_affine_coeffs(
+            jnp.sum(xf, axis=(1, 2)), jnp.sum(xf * xf, axis=(1, 2)),
+            gamma, beta, 32 * 32 * (C // G), G, 1e-5)
+        y = np.asarray(a * xf[0, 0, 0] + b, np.float32)
+        assert np.isfinite(y).all(), c

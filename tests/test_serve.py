@@ -161,10 +161,13 @@ def test_serve_cli(predictor_setup, tmp_path):
     cfg_file = tmp_path / "cfg.yml"
     cfg_file.write_text(cfg.dump())
     out = tmp_path / "served"
+    cache = tmp_path / "serve_cache"
     rc = main(["-c", str(cfg_file), "-ckt", str(ckpt),
                "--input", str(lr_dir), "--out", str(out),
-               "--sampler", "dpm++", "--steps", "4", "--batch", "2"])
+               "--sampler", "dpm++", "--steps", "4", "--batch", "2",
+               "--warmup-cache", str(cache)])
     assert rc == 0
+    assert list(cache.rglob("*")), "--warmup-cache wrote no executables"
     for name in ("face_a", "face_b", "face_c"):
         d = out / name
         assert (d / "mesh.ply").exists() and (d / "mesh.obj").exists()
@@ -195,3 +198,24 @@ def test_bundle_names_same_dir_extension_collision():
     paths = ["/in/face.png", "/in/face.jpg", "/in/b/other.png"]
     names = bundle_names(paths, "/in")
     assert len(set(names)) == 3 and "other" in names
+
+
+def test_predictor_warmup_and_compile_cache(predictor_setup, tmp_path):
+    """--warmup-cache contract: enable_compile_cache + warmup compiles the
+    serving program once and persists executables to the cache dir; warmup
+    returns a positive wall time and later predicts reuse the jit."""
+    from sr3d_tpu.serve import Predictor
+
+    cfg, _, ckpt = predictor_setup
+    cache = tmp_path / "xla_cache"
+    Predictor.enable_compile_cache(str(cache))
+    p = Predictor.from_config(cfg, checkpoint=str(ckpt), batch_size=2)
+    wt = p.warmup()
+    assert wt > 0
+    # the persistent cache must have serialized at least the serving program
+    entries = list(cache.rglob("*"))
+    assert entries, "compile cache dir is empty after warmup"
+    # warm path: a real request after warmup reuses the compiled program
+    lr = np.random.RandomState(1).randint(0, 255, (2, 8, 8, 3), np.uint8)
+    out = p.predict(lr)
+    assert out["sr_u8"].shape == (2, 16, 16, 3)

@@ -136,7 +136,38 @@ def test_trainer_dp_tp_matches_single_device(workspace, tmp_path):
     sharded = [s for s in jax.tree.leaves(tr_multi._state_shardings)
                if any(ax is not None for ax in s.spec)]
     assert sharded, "no state leaf is model-axis sharded at tp=2"
-    losses_s, sgd_params_s, _ = run((1, 1), "single")
+    losses_s, sgd_params_s, tr_single = run((1, 1), "single")
+
+    # val path on the mesh (VERDICT r2 #7): the eval jit must consume the
+    # state in its existing TP layout — compiled input shardings for the
+    # state arg equal the trainer's state shardings leaf-for-leaf (i.e. no
+    # per-call resharding at the jit boundary)
+    raw = next(iter(tr_multi.mica_val_loader.epoch()))
+    batch = tr_multi.prepare_batch(raw)
+    # tile to a data-axis-divisible batch for the DP variant (the runtime
+    # dispatcher would route this lead=2 val batch to the repl variant)
+    jit_batch = {k: np.concatenate([np.asarray(batch[k])] * 2)
+                 for k in ("HR", "SR", "flame_shape") if k in batch}
+    comp = tr_multi._eval_step_dp.lower(
+        tr_multi.modules, tr_multi.state, jit_batch,
+        jax.random.PRNGKey(0)).compile()
+    got_state_sh = comp.input_shardings[0][1]
+
+    def _same_sharding(w, g, leaf):
+        if g is None:  # arg pruned by XLA (e.g. opt_state at eval) — never
+            return None  # materialised, so no resharding possible
+        assert w.is_equivalent_to(g, np.ndim(leaf)), (w, g)
+        return None
+
+    jax.tree.map(_same_sharding, tr_multi._state_shardings, got_state_sh,
+                 tr_multi.state)
+
+    # and the combined-loss validation itself matches across layouts
+    ev_m = tr_multi.evaluate_MICA()
+    ev_s = tr_single.evaluate_MICA()
+    for key in ev_m:
+        np.testing.assert_allclose(ev_m[key], ev_s[key], rtol=5e-3,
+                                   err_msg=f"evaluate_MICA[{key}]")
 
     for lm, ls in zip(losses_m, losses_s):
         for k in lm:
