@@ -234,31 +234,60 @@ def aggregate(results):
     return agg
 
 
-def decide_serving_point(agg):
-    """Pick the serving point from the seed-interval, not a point estimate:
-    a fast sampler wins only if its (mean - std) beats the reference
-    ancestral loop's (mean + std) on PSNR — i.e. the intervals don't
-    overlap in the wrong direction."""
+def decide_serving_point(results, agg):
+    """Pick the serving point by PAIRED per-seed comparison.
+
+    Each seed trains one model evaluated by every sampler, so the
+    experiment is paired by design: the statistic that matters is the
+    per-seed PSNR delta (fast − ancestral), not unpaired mean±std
+    intervals (cross-seed training variance ~0.9 dB dwarfs the ~0.3 dB
+    sampler effect and would drown it).  A fast sampler "matches
+    ancestral" when its delta is ≥ −0.1 dB on EVERY seed; the serving
+    point is the CHEAPEST qualifying sampler (fewest UNet evals) — serving
+    wants the lowest latency among the quality-equivalent options; when
+    nothing qualifies, fall back to the best mean delta."""
+    import numpy as np
+
     out = []
-    for cfg in {a["config"] for a in agg}:
+    for cfg in sorted({a["config"] for a in agg}):
         rows = [a for a in agg if a["config"] == cfg]
         anc = next((a for a in rows if a["sampler"].startswith("ddpm-")
                     and not a["sampler"].endswith("marginal")), None)
         if anc is None:
             continue
-        floor = anc["psnr_mean"] + anc["psnr_std"]
-        fast = [a for a in rows if a["sampler"].startswith(("ddim", "dpm"))]
-        winners = [a for a in fast if a["psnr_mean"] - a["psnr_std"] >= floor]
-        pick = (max(winners, key=lambda a: a["psnr_mean"]) if winners
-                else max(fast, key=lambda a: a["psnr_mean"] - a["psnr_std"],
-                         default=None))
+        by_seed = {}
+        for r in results:
+            if r.get("config") == cfg and "seed" in r:
+                by_seed.setdefault(r["sampler"], {})[r["seed"]] = r["psnr"]
+        anc_psnr = by_seed.get(anc["sampler"], {})
+        cands = []
+        for a in rows:
+            if not a["sampler"].startswith(("ddim", "dpm")):
+                continue
+            deltas = [by_seed[a["sampler"]][s] - anc_psnr[s]
+                      for s in anc_psnr if s in by_seed.get(a["sampler"], {})]
+            if not deltas:
+                continue
+            cands.append({
+                "sampler": a["sampler"], "psnr_mean": a["psnr_mean"],
+                "psnr_std": a["psnr_std"],
+                "delta_mean": round(float(np.mean(deltas)), 3),
+                "delta_min": round(float(np.min(deltas)), 3),
+                "matches_ancestral": bool(np.min(deltas) >= -0.1)})
+        def n_steps(c):
+            return int(c["sampler"].split("-")[1])
+
+        winners = [c for c in cands if c["matches_ancestral"]]
+        pick = (min(winners, key=n_steps) if winners
+                else max(cands, key=lambda c: c["delta_mean"], default=None))
         out.append({"config": cfg, "ancestral_psnr": anc["psnr_mean"],
                     "ancestral_std": anc["psnr_std"],
-                    "interval_floor": round(floor, 3),
-                    "beats_ancestral_interval": bool(winners),
+                    "paired_candidates": cands,
                     "serving_point": pick["sampler"] if pick else None,
-                    "serving_psnr": pick["psnr_mean"] if pick else None,
-                    "serving_std": pick["psnr_std"] if pick else None})
+                    "serving_delta_mean": pick["delta_mean"] if pick else None,
+                    "serving_delta_min": pick["delta_min"] if pick else None,
+                    "matches_ancestral": bool(pick and
+                                              pick["matches_ancestral"])})
     return out
 
 
@@ -296,7 +325,7 @@ def main(argv=None) -> int:
     agg = aggregate(results)
     for a in agg:
         print(json.dumps({"aggregate": a}), flush=True)
-    decision = decide_serving_point(agg)
+    decision = decide_serving_point(results, agg)
     for d in decision:
         print(json.dumps({"decision": d}), flush=True)
     if args.out:
