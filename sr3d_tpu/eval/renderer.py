@@ -68,8 +68,9 @@ def render_mesh(
     blocks anchored at its screen bbox min (processed chunk-wise to bound
     memory), so faces up to ``tile·tile_grid`` px are drawn without holes —
     the round-1 single 8-px tile clipped any larger face (VERDICT r1 #7).
-    Faces exceeding the coverage are still partially drawn; raise
-    ``tile_grid`` for coarse meshes.
+    Faces exceeding the coverage are still partially drawn; use
+    :func:`render_meshes` (auto-sized grid) or pass
+    ``tile_grid=required_tile_grid(...)`` for coarse meshes.
     """
     V = vertices.shape[0]
     F = faces.shape[0]
@@ -100,9 +101,10 @@ def render_mesh(
     a, b, c = tri[:, 0], tri[:, 1], tri[:, 2]
     big = jnp.float32(1e9)
 
-    def chunk(gy, gx):
-        """Rasterise the (gy, gx) tile of every face's grid →
-        (flat pixel idx [F·t·t], depth, shade)."""
+    def chunk(cell):
+        """Rasterise grid cell ``cell`` (= gy·tile_grid + gx, traced int)
+        of every face's grid → (flat pixel idx [F·t·t], depth, shade)."""
+        gy, gx = cell // tile_grid, cell % tile_grid
         dy, dx = jnp.mgrid[0:tile, 0:tile]
         px = bb_min[:, 0, None, None] + dx[None] + gx * tile   # [F,t,t]
         py = bb_min[:, 1, None, None] + dy[None] + gy * tile
@@ -145,29 +147,77 @@ def render_mesh(
         return (flat_idx, jnp.where(inside, depth, big).reshape(-1),
                 shade.reshape(-1))
 
-    grid_cells = [(gy, gx) for gy in range(tile_grid)
-                  for gx in range(tile_grid)]
+    # fori_loop (not an unrolled Python loop) so the chunk body compiles
+    # ONCE regardless of tile_grid — auto-sized grids on coarse meshes
+    # can reach tile_grid ~26 (676 cells), which unrolled was a
+    # multi-minute XLA compile; looped it is milliseconds.
+    n_cells = tile_grid * tile_grid
+
     # pass 1: winning depth per pixel
-    zbuf = jnp.full((P * P,), big)
-    for gy, gx in grid_cells:
-        idx, depth_flat, _ = chunk(gy, gx)
-        zbuf = zbuf.at[idx].min(depth_flat)
+    def min_depth(cell, zb):
+        idx, depth_flat, _ = chunk(cell)
+        return zb.at[idx].min(depth_flat)
+
+    zbuf = jax.lax.fori_loop(0, n_cells, min_depth,
+                             jnp.full((P * P,), big))
+
     # pass 2: candidates matching the winning depth write their shade
-    shade_buf = jnp.zeros((P * P,))
-    for gy, gx in grid_cells:
-        idx, depth_flat, shade_flat = chunk(gy, gx)
+    def write_shade(cell, sb):
+        idx, depth_flat, shade_flat = chunk(cell)
         is_winner = (depth_flat <= zbuf[idx] + 1e-7) & (depth_flat < big)
-        shade_buf = shade_buf.at[idx].max(
-            jnp.where(is_winner, shade_flat, 0.0))
+        return sb.at[idx].max(jnp.where(is_winner, shade_flat, 0.0))
+
+    shade_buf = jax.lax.fori_loop(0, n_cells, write_shade,
+                                  jnp.zeros((P * P,)))
 
     img = shade_buf.reshape(P, P)[..., None] * jnp.asarray(base_color)
     hit = (zbuf < big).reshape(P, P)[..., None]
     return jnp.where(hit, img, 1.0)  # white background
 
 
+def required_tile_grid(vertices, faces, image_size: int = 512,
+                       tile: int = 8, fov_deg: float = 12.0,
+                       eye_z: float = 3.0) -> int:
+    """Smallest static ``tile_grid`` that draws every face hole-free.
+
+    Host-side numpy mirror of ``render_mesh``'s projection: project the
+    vertices, take the per-face screen bbox clipped to the canvas, and
+    size the grid to the largest extent.  Because extra grid cells fall
+    outside their face's bbox and write nothing, rendering with the
+    returned grid is pixel-identical to any larger grid — so auto-sizing
+    can only *add* coverage relative to a fixed default, never change
+    already-covered output.  ``vertices`` may be [V,3] or [B,V,3]
+    (concrete arrays; this runs on host before the jitted render).
+    """
+    v = np.asarray(jax.device_get(vertices), np.float32)
+    if v.ndim == 2:
+        v = v[None]
+    f = np.asarray(jax.device_get(faces))
+    P = image_size
+    focal = 1.0 / np.tan(np.deg2rad(fov_deg) / 2.0)
+    z = np.clip(eye_z - v[..., 2], 1e-6, None)
+    sx = (v[..., 0] * focal / z * 0.5 + 0.5) * (P - 1)
+    sy = (-v[..., 1] * focal / z * 0.5 + 0.5) * (P - 1)
+    tri = np.stack([sx, sy], -1)[:, f]                    # [B,F,3,2]
+    lo = np.clip(np.floor(tri.min(axis=2)), 0, P - 1)     # [B,F,2]
+    hi = np.clip(tri.max(axis=2), 0, P - 1)
+    ext = float((hi - lo).max()) + 1.0
+    return max(1, min(int(np.ceil(ext / tile)), -(-P // tile)))
+
+
 def render_meshes(vertices_b: jax.Array, faces: jax.Array,
                   image_size: int = 512, **kw) -> jax.Array:
-    """[B,V,3] → [B,S,S,3] via vmap."""
+    """[B,V,3] → [B,S,S,3] via vmap.
+
+    When ``tile_grid`` is not passed it is auto-sized with
+    :func:`required_tile_grid`, removing the fixed ``tile·tile_grid`` px
+    face-size bound — arbitrarily coarse meshes render without holes
+    (each distinct grid size compiles once; vis-only path).
+    """
+    if "tile_grid" not in kw:
+        kw = dict(kw, tile_grid=required_tile_grid(
+            vertices_b, faces, image_size, kw.get("tile", 8),
+            kw.get("fov_deg", 12.0), kw.get("eye_z", 3.0)))
     return jax.vmap(lambda v: render_mesh(v, faces, image_size, **kw))(
         vertices_b)
 
