@@ -13,10 +13,12 @@ with the reference.  Two configurations matter:
   the guaranteed-parity number stays in the driver-captured series
   (VERDICT r2 #2) and rounds remain comparable.
 * **Quality-parity fast sampler** (this benchmark): stochastic DDIM-25
-  with marginal initialization — measured ON-CHIP to EXCEED the ancestral
-  loop's PSNR/SSIM on a trained model (28.51 vs 27.91 dB; PERF.md
-  "sampler quality at full scale" + the non-zero-terminal-SNR init fix),
-  at 24× fewer UNet calls.  This is the framework's actual serving
+  with marginal initialization — confirmed ON-CHIP by the round-3
+  multi-seed protocol (3 seeds, 256 train / 32 held-out disjoint
+  identities, both reference config points; PERF.md "multi-seed sampler
+  quality protocol", records in SAMPLER_STUDY_r3.json) to EXCEED
+  the ancestral loop's PSNR on EVERY seed (paired Δ ≥ +0.21 dB at the
+  flagship 16→128 point) at 24× fewer UNet calls.  This is the framework's actual serving
   configuration (`sampler: ddim, ddim_steps: 25, ddim_eta: 1.0,
   sampler_init: marginal`).
 
