@@ -86,6 +86,10 @@ def get_cfg_defaults() -> ConfigNode:
             res_blocks=2,
             dropout=0.2,
             norm_groups=32,
+            # w8a8 int8 convs at spatial res >= this at INFERENCE (0=off;
+            # serving/sampling only — training always runs the fp convs).
+            # See PERF.md "int8 at the O=64 levels".
+            quant_min_res=0,
         )
     )
     sr.model.beta_schedule = ConfigNode()

@@ -79,41 +79,73 @@ class FeatureWiseAffine(nn.Module):
 class GroupNormSwish(nn.Module):
     """GroupNorm + Swish with the same param tree as ``nn.GroupNorm``
     (scale/bias), dispatched to the fused pallas kernel on TPU
-    (sr3d_tpu.kernels.groupnorm_swish) and an XLA reference elsewhere."""
+    (sr3d_tpu.kernels.groupnorm_swish) and an XLA reference elsewhere.
+
+    ``return_affine=True`` additionally returns the (scale, bias) params
+    — the quantized conv path derives a static activation bound from
+    them (param tree unchanged).
+    """
     groups: int = 32
     epsilon: float = 1e-5
     use_pallas: bool | None = None
+    return_affine: bool = False
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array):
         C = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (C,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (C,), jnp.float32)
         from ..kernels.groupnorm_swish import fused_groupnorm_swish
 
-        return fused_groupnorm_swish(x, scale, bias, self.groups,
-                                     self.epsilon,
-                                     use_pallas=self.use_pallas)
+        out = fused_groupnorm_swish(x, scale, bias, self.groups,
+                                    self.epsilon,
+                                    use_pallas=self.use_pallas)
+        if self.return_affine:
+            return out, (scale, bias)
+        return out
 
 
 class ConvBlock(nn.Module):
-    """GroupNorm → Swish → (Dropout) → Conv3×3 (reference ``Block``)."""
+    """GroupNorm → Swish → (Dropout) → Conv3×3 (reference ``Block``).
+
+    ``quant=True`` swaps the conv for the w8a8 ``Int8Conv``
+    (ops/quant.py) — same param tree, inference-only; used by the UNet's
+    ``quant_min_res`` serving knob at the MXU-lane-starved wide levels.
+    """
     dim_out: int
     groups: int = 32
     dropout: float = 0.0
     dtype: jnp.dtype = jnp.bfloat16
     deterministic: bool = True
     use_pallas: bool | None = None
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         h = GroupNormSwish(self.groups, use_pallas=self.use_pallas,
-                           name="norm")(x)
+                           return_affine=self.quant, name="norm")(x)
+        if self.quant:
+            h, (gn_scale, gn_bias) = h
         h = h.astype(self.dtype)
         if self.dropout > 0.0:
             h = nn.Dropout(self.dropout, deterministic=self.deterministic)(h)
-        h = nn.Conv(self.dim_out, (3, 3), padding=1, dtype=self.dtype,
-                    name="conv")(h)
+        if self.quant:
+            from ..ops.quant import Int8Conv
+
+            # STATIC activation scale from the GN affine params: GN output
+            # is zero-mean unit-variance per group, so |swish(GN·s + b)| ≤
+            # 6·|s| + |b| covers ±6σ (outliers clip — standard for w8a8).
+            # Static ⇒ the int8 quantize is pure elementwise and fuses
+            # into the GN epilogue instead of costing an abs-max pass
+            # (the dynamic variant measured SLOWER end-to-end, PERF.md).
+            bound = jnp.maximum(
+                6.0 * jnp.max(jnp.abs(gn_scale)) + jnp.max(jnp.abs(gn_bias)),
+                1e-3)
+            h = Int8Conv(self.dim_out, (3, 3), dtype=self.dtype,
+                         name="conv")(h, a_scale=bound / 127.0)
+        else:
+            h = nn.Conv(self.dim_out, (3, 3), padding=1, dtype=self.dtype,
+                        name="conv")(h)
         return h
 
 
@@ -124,16 +156,17 @@ class ResnetBlock(nn.Module):
     use_affine_level: bool = False
     dtype: jnp.dtype = jnp.bfloat16
     deterministic: bool = True
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, time_emb: jax.Array) -> jax.Array:
         h = ConvBlock(self.dim_out, self.groups, dtype=self.dtype,
-                      name="block1")(x)
+                      quant=self.quant, name="block1")(x)
         h = FeatureWiseAffine(self.dim_out, self.use_affine_level,
                               dtype=self.dtype, name="noise_func")(h, time_emb)
         h = ConvBlock(self.dim_out, self.groups, self.dropout,
                       dtype=self.dtype, deterministic=self.deterministic,
-                      name="block2")(h)
+                      quant=self.quant, name="block2")(h)
         if x.shape[-1] != self.dim_out:
             x = nn.Conv(self.dim_out, (1, 1), dtype=self.dtype,
                         name="res_conv")(x)
@@ -178,12 +211,13 @@ class ResnetBlocWithAttn(nn.Module):
     with_attn: bool = False
     dtype: jnp.dtype = jnp.bfloat16
     deterministic: bool = True
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, time_emb: jax.Array) -> jax.Array:
         x = ResnetBlock(self.dim_out, self.groups, self.dropout,
                         dtype=self.dtype, deterministic=self.deterministic,
-                        name="res_block")(x, time_emb)
+                        quant=self.quant, name="res_block")(x, time_emb)
         if self.with_attn:
             x = SelfAttention(groups=self.groups, dtype=self.dtype,
                               name="attn")(x)
@@ -231,10 +265,20 @@ class SR3UNet(nn.Module):
     image_size: int = 128
     dtype: jnp.dtype = jnp.bfloat16
     remat: bool = False
+    # w8a8 int8 convs at spatial resolutions >= this (0 = off).  A
+    # SERVING knob: inference-only (round() has no gradient), targets the
+    # MXU-lane-starved wide levels (PERF.md "int8 at the O=64 levels").
+    # Same param tree either way — trained checkpoints load unchanged.
+    quant_min_res: int = 0
 
     @nn.compact
     def __call__(self, x: jax.Array, time: jax.Array, *,
-                 deterministic: bool = True) -> jax.Array:
+                 deterministic: bool = True,
+                 quant: bool = False) -> jax.Array:
+        # ``quant`` is a CALL-time switch so one module definition serves
+        # both the training step (always fp — round() has no gradient)
+        # and sampling/serving (quantized when quant_min_res > 0 AND the
+        # caller opts in); see make_val_step / serve.Predictor.
         in_dtype = x.dtype
         x = x.astype(self.dtype)
         t = (NoiseLevelMLP(self.inner_channel, dtype=self.dtype,
@@ -258,10 +302,11 @@ class SR3UNet(nn.Module):
             is_last = ind == num_mults - 1
             use_attn = now_res in attn_res
             ch = self.inner_channel * self.channel_mults[ind]
+            use_quant = quant and 0 < self.quant_min_res <= now_res
             for b in range(self.res_blocks):
                 h = block_cls(ch, self.norm_groups, self.dropout,
                               with_attn=use_attn, dtype=self.dtype,
-                              deterministic=deterministic,
+                              deterministic=deterministic, quant=use_quant,
                               name=f"down_{ind}_{b}")(h, t)
                 feats.append(h)
             if not is_last:
@@ -282,12 +327,13 @@ class SR3UNet(nn.Module):
         for ind in reversed(range(num_mults)):
             is_last = ind < 1
             use_attn = now_res in attn_res
+            use_quant = quant and 0 < self.quant_min_res <= now_res
             ch = self.inner_channel * self.channel_mults[ind]
             for b in range(self.res_blocks + 1):
                 skip = feats.pop()
                 h = block_cls(ch, self.norm_groups, self.dropout,
                               with_attn=use_attn, dtype=self.dtype,
-                              deterministic=deterministic,
+                              deterministic=deterministic, quant=use_quant,
                               name=f"up_{ind}_{b}")(
                                   jnp.concatenate([h, skip], axis=-1), t)
             if not is_last:
@@ -316,4 +362,5 @@ def unet_from_config(unet_cfg, diffusion_cfg, *, dtype=jnp.bfloat16,
         image_size=int(diffusion_cfg["image_size"]),
         dtype=dtype,
         remat=remat,
+        quant_min_res=int(unet_cfg.get("quant_min_res", 0) or 0),
     )

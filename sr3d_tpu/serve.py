@@ -307,6 +307,11 @@ def main(argv=None) -> int:
                          "quality') — prefer ddim unless latency-bound")
     ap.add_argument("--steps", type=int, default=None,
                     help="strided sampler step count (ddim/dpm++)")
+    ap.add_argument("--int8", type=int, default=0, metavar="MIN_RES",
+                    help="w8a8 int8 convs at spatial res >= MIN_RES "
+                         "(e.g. 128; sets sr.model.unet.quant_min_res). "
+                         "Same checkpoint, ~8-bit quantization error; "
+                         "see PERF.md 'int8 at the O=64 levels'")
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--ema", action="store_true")
     ap.add_argument("--warmup-cache", default=None, metavar="DIR",
@@ -327,6 +332,8 @@ def main(argv=None) -> int:
         cfg.sr.model.diffusion.sampler = args.sampler
     if args.steps:
         cfg.sr.model.diffusion.ddim_steps = args.steps
+    if args.int8:
+        cfg.sr.model.unet.quant_min_res = args.int8
 
     paths = get_paths_from_images(args.input)
     names = bundle_names(paths, args.input)

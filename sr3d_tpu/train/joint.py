@@ -260,7 +260,11 @@ def init_train_state(modules: JointModules, cfg, rng: jax.Array,
 # forward pieces
 # --------------------------------------------------------------------------
 
-def _sr_denoise_fn(modules: JointModules, sr_params):
+def _sr_denoise_fn(modules: JointModules, sr_params, quant: bool = False):
+    if quant:
+        # w8a8 int8 convs at the wide levels (unet quant_min_res knob,
+        # PERF.md "int8 at the O=64 levels") — inference-only call sites
+        return lambda x, t: modules.unet.apply(sr_params, x, t, quant=True)
     return lambda x, t: modules.unet.apply(sr_params, x, t)
 
 
@@ -435,7 +439,9 @@ def make_val_step(use_ema: bool = False):
     def val_step(modules: JointModules, state: JointTrainState, batch, rng):
         sr_params = (state.ema.params if (use_ema and state.ema is not None)
                      else state.params["sr"])
-        denoise = _sr_denoise_fn(modules, sr_params)
+        denoise = _sr_denoise_fn(
+            modules, sr_params,
+            quant=getattr(modules.unet, "quant_min_res", 0) > 0)
         if modules.val_sampler == "ddim":
             from ..diffusion.gaussian import ddim_sample_loop
 
