@@ -190,6 +190,15 @@ def run_config(name, args, results):
         evaluate(f"dpm++-{fast}-marginal",
                  dpmpp_sample_loop(den, sched, val_cond, k, num_steps=fast,
                                    init="marginal"))
+        if args.int8_eval:
+            # quality of the w8a8 serving path (unet quant_min_res at the
+            # top level — the MXU-lane-starved convs), same params
+            qunet = unet.clone(quant_min_res=res)
+            qden = lambda x, t: qunet.apply(params, x, t, quant=True)  # noqa: E731
+            evaluate(f"ddim-{fast}-eta1-marginal-int8",
+                     ddim_sample_loop(qden, sched, val_cond, k,
+                                      num_steps=fast, eta=1.0,
+                                      init="marginal"))
         if args.full_matrix:
             for init in ("noise", "marginal"):
                 evaluate(f"ddim-{fast}-eta0-{init}",
@@ -306,6 +315,9 @@ def main(argv=None) -> int:
                     help="fast-sampler step count (default T//24)")
     ap.add_argument("--full-matrix", action="store_true",
                     help="also evaluate eta=0 and dpm++ SDE variants")
+    ap.add_argument("--int8-eval", action="store_true",
+                    help="also evaluate the w8a8 int8 serving path "
+                         "(ops/quant.py) at the fast-sampler point")
     ap.add_argument("--out", default="",
                     help="write all records + aggregate to this JSON file")
     ap.add_argument("--tiny", action="store_true",

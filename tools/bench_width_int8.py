@@ -46,7 +46,7 @@ N_TIMESTEP = 600
 DDIM_STEPS = 25
 
 
-def bench_sampling(unet, label, n_runs):
+def bench_sampling(unet, label, n_runs, quant=False):
     """faces/s + ms per UNet eval for ddim-25 sampling with this UNet."""
     import jax
     import jax.numpy as jnp
@@ -64,9 +64,10 @@ def bench_sampling(unet, label, n_runs):
 
     @jax.jit
     def sample(params, cond, rng):
-        out = ddim_sample_loop(lambda x, t: unet.apply(params, x, t),
-                               sched, cond, rng, num_steps=DDIM_STEPS,
-                               eta=1.0, init="marginal")
+        out = ddim_sample_loop(
+            lambda x, t: unet.apply(params, x, t, quant=quant),
+            sched, cond, rng, num_steps=DDIM_STEPS,
+            eta=1.0, init="marginal")
         return jnp.sum(out.astype(jnp.float32))
 
     jax.device_get(sample(params, cond, jax.random.PRNGKey(1)))  # compile
@@ -166,14 +167,38 @@ def run_int8(args, results):
             print(json.dumps(rec), flush=True)
 
 
+def run_e2e(args, results):
+    """End-to-end ddim-25 sampling throughput of the w8a8 serving path
+    (ops/quant.py via the UNet's quant_min_res knob) vs the fp step, at
+    several quantization depths: min_res=128 quantizes only the two
+    lane-starved 128² O=64 levels; 64 adds the C=128 levels; 1 = every
+    conv in the net."""
+    import jax.numpy as jnp
+
+    from sr3d_tpu.models.sr3_unet import SR3UNet
+
+    common = dict(in_channel=6, out_channel=3, inner_channel=64,
+                  channel_mults=(1, 2, 4, 8, 8), norm_groups=32,
+                  attn_res=(16,), res_blocks=2, dropout=0.0,
+                  image_size=224, dtype=jnp.bfloat16)
+    results.append(bench_sampling(SR3UNet(**common), "fp-bf16", args.runs))
+    for min_res in (128, 64, 32, 1):
+        results.append(bench_sampling(
+            SR3UNet(quant_min_res=min_res, **common),
+            f"int8(min_res={min_res})", args.runs, quant=True))
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--widen", action="store_true")
     ap.add_argument("--int8", action="store_true")
+    ap.add_argument("--e2e", action="store_true",
+                    help="end-to-end ddim-25 throughput, fp vs int8 at "
+                         "several quant_min_res depths")
     ap.add_argument("--runs", type=int, default=5)
     ap.add_argument("--out", default="")
     args = ap.parse_args(argv)
-    if not (args.widen or args.int8):
+    if not (args.widen or args.int8 or args.e2e):
         args.widen = args.int8 = True
 
     results = []
@@ -181,6 +206,8 @@ def main(argv=None) -> int:
         run_int8(args, results)
     if args.widen:
         run_widen(args, results)
+    if args.e2e:
+        run_e2e(args, results)
     if args.out:
         Path(args.out).write_text(json.dumps(results, indent=1))
     return 0
