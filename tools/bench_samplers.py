@@ -172,6 +172,11 @@ def run_config(name, args, results):
                    "psnr": round(p, 3), "ssim": round(s, 4)}
             results.append(rec)
             print(json.dumps(rec), flush=True)
+            if args.out:
+                # incremental: a tunnel outage mid-study must not lose
+                # the seeds already evaluated
+                Path(args.out).write_text(json.dumps(
+                    {"records": results}, indent=1))
 
         # the focused serving-decision set; --full-matrix adds the rest
         evaluate(f"ddpm-{T}",
@@ -191,14 +196,19 @@ def run_config(name, args, results):
                  dpmpp_sample_loop(den, sched, val_cond, k, num_steps=fast,
                                    init="marginal"))
         if args.int8_eval:
-            # quality of the w8a8 serving path (unet quant_min_res at the
-            # top level — the MXU-lane-starved convs), same params
-            qunet = unet.clone(quant_min_res=res)
-            qden = lambda x, t: qunet.apply(params, x, t, quant=True)  # noqa: E731
-            evaluate(f"ddim-{fast}-eta1-marginal-int8",
-                     ddim_sample_loop(qden, sched, val_cond, k,
-                                      num_steps=fast, eta=1.0,
-                                      init="marginal"))
+            # quality of the w8a8 serving path at each quantization depth
+            # (unet quant_min_res knob): res = top level only (the
+            # MXU-lane-starved convs), res//2 adds the next level, 1 =
+            # every conv.  Same fp params — Int8Conv quantizes at trace
+            # time.  Depths match tools/bench_width_int8.py --e2e.
+            for min_res in (res, res // 2, res // 4, 1):
+                qunet = unet.clone(quant_min_res=min_res)
+                qden = lambda x, t: qunet.apply(  # noqa: E731
+                    params, x, t, quant=True)
+                evaluate(f"ddim-{fast}-eta1-marginal-int8@{min_res}",
+                         ddim_sample_loop(qden, sched, val_cond, k,
+                                          num_steps=fast, eta=1.0,
+                                          init="marginal"))
         if args.full_matrix:
             for init in ("noise", "marginal"):
                 evaluate(f"ddim-{fast}-eta0-{init}",
