@@ -88,7 +88,9 @@ def main(argv=None) -> int:
     cfg.sr.train.n_iter = args.steps
     cfg.mica.train.max_steps = 0
     cfg.train.log_steps = max(args.eval_every // 5, 1)
-    cfg.train.checkpoint_steps = max(args.steps // 2, 1)
+    # checkpoint at the eval cadence: a tunnel outage mid-run loses at
+    # most one eval interval (the Trainer auto-resumes from the workdir)
+    cfg.train.checkpoint_steps = args.eval_every
     cfg.train.eval_steps = args.eval_every          # SR val PSNR cadence
     cfg.mica.train.eval_steps = args.eval_every     # evaluate_MICA cadence
     cfg.train.vis_steps = 0
