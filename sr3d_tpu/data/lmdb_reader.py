@@ -83,10 +83,14 @@ class LmdbReader:
         metas = [m for m in (meta0, meta1) if m is not None]
         meta = max(metas, key=lambda m: m["txnid"])
         self.main = meta["main"]
-        if self.main["flags"] & ~0x08:  # MDB_INTEGERKEY(0x08) tolerated
+        if self.main["flags"]:
+            # MDB_INTEGERKEY (0x08) keys sort in native-integer order, not
+            # the memcmp order this parser's B-tree descent assumes —
+            # accepting it would return silently-wrong lookups on
+            # multi-page DBs, so reject it like DUPSORT/DUPFIXED.
             raise LmdbFormatError(
                 f"{p}: main DB flags 0x{self.main['flags']:x} "
-                "(DUPSORT/DUPFIXED not supported by this parser)")
+                "(DUPSORT/DUPFIXED/INTEGERKEY not supported by this parser)")
 
     def _parse_meta(self, off):
         buf = self._mm

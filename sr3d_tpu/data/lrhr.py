@@ -161,7 +161,9 @@ class LRHRDataset:
                 break
             rng = rng or self._rng.for_item(index)
             hr_b, sr_b, lr_b = fetch(int(rng.randint(0, self.data_len)))
-        else:
+        if hr_b is None or sr_b is None:
+            # checked on the VALUES, not loop exhaustion: the final
+            # permitted draw counts too
             raise RuntimeError(
                 f"{self._env.path}: could not find a valid hr/sr record "
                 f"pair after resampling (started at index {index})")

@@ -327,11 +327,20 @@ def migrate_lmdb(lmdb_dir, out_root, l_res: int, r_res: int) -> dict:
         from .lmdb_reader import LmdbReader
 
         with LmdbReader(lmdb_dir) as r:
-            length = int(r.get(b"length"))
-            return migrate_lmdb_records(r.get, length, l_res, r_res,
+            raw = r.get(b"length")
+            if raw is None:
+                raise KeyError(
+                    f"{lmdb_dir}: no 'length' record — not a reference "
+                    f"SR dataset LMDB (datasets/base.py writes it)")
+            return migrate_lmdb_records(r.get, int(raw), l_res, r_res,
                                         out_root)
     env = lmdb.open(str(lmdb_dir), readonly=True, lock=False,
                     readahead=False, meminit=False)
     with env.begin(write=False) as txn:
-        length = int(txn.get(b"length"))
-        return migrate_lmdb_records(txn.get, length, l_res, r_res, out_root)
+        raw = txn.get(b"length")
+        if raw is None:
+            raise KeyError(
+                f"{lmdb_dir}: no 'length' record — not a reference "
+                f"SR dataset LMDB (datasets/base.py writes it)")
+        return migrate_lmdb_records(txn.get, int(raw), l_res, r_res,
+                                    out_root)

@@ -202,7 +202,17 @@ def required_tile_grid(vertices, faces, image_size: int = 512,
     lo = np.clip(np.floor(tri.min(axis=2)), 0, P - 1)     # [B,F,2]
     hi = np.clip(tri.max(axis=2), 0, P - 1)
     ext = float((hi - lo).max()) + 1.0
-    return max(1, min(int(np.ceil(ext / tile)), -(-P // tile)))
+    need = max(1, int(np.ceil(ext / tile)))
+    # quantize UP to a power of two (min 4, the historic default): the
+    # grid is a jit static arg, and training-vis meshes evolve — an exact
+    # per-batch grid would cross tile boundaries and trigger a fresh
+    # (remote, 100s+) render_mesh compile each time.  Buckets bound the
+    # distinct compiles to ~4 per (image_size, tile) while staying
+    # pixel-identical (extra cells write nothing).
+    bucket = 4
+    while bucket < need:
+        bucket *= 2
+    return min(bucket, -(-P // tile))
 
 
 def render_meshes(vertices_b: jax.Array, faces: jax.Array,

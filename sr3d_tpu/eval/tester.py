@@ -171,13 +171,26 @@ def mask_scan_points(scan_mm: np.ndarray, mask: np.ndarray | None = None,
     wins when both are given."""
     if mask is not None:
         mask = np.asarray(mask)
+        n = scan_mm.shape[0]
         if mask.dtype == np.bool_:
-            if mask.shape[0] != scan_mm.shape[0]:
+            if mask.shape[0] != n:
                 raise ValueError(
                     f"boolean scan mask has {mask.shape[0]} entries for "
-                    f"{scan_mm.shape[0]} scan points")
+                    f"{n} scan points")
             return scan_mm[mask]
-        return scan_mm[mask.astype(np.int64).ravel()]
+        idx = mask.astype(np.int64).ravel()
+        # an int-typed 0/1 array of per-point length is a boolean mask
+        # saved without the bool dtype (common via image tools / casts) —
+        # indexing with it would silently collapse the scan to copies of
+        # points 0 and 1
+        if idx.shape[0] == n and idx.size and idx.min() >= 0 \
+                and idx.max() <= 1 and n > 2:
+            return scan_mm[idx.astype(bool)]
+        if idx.size and (idx.min() < 0 or idx.max() >= n):
+            raise ValueError(
+                f"scan index mask has entries outside [0, {n}) "
+                f"(min {idx.min()}, max {idx.max()})")
+        return scan_mm[idx]
     if radius_mm is not None:
         if lmk7_mm is None:
             raise ValueError("radius_mm cropping needs the scan's lmk7")

@@ -142,7 +142,7 @@ class Predictor:
 
     # ------------------------------------------------------------------
     @staticmethod
-    def enable_compile_cache(cache_dir: str) -> None:
+    def enable_compile_cache(cache_dir: str):
         """Persist compiled executables across processes (cold-start fix).
 
         The serving program's one-time compile is expensive on the target
@@ -151,20 +151,40 @@ class Predictor:
         compilation cache at a directory makes every later process load the
         serialized executable instead of recompiling.  Call BEFORE building
         the Predictor (any jit compiled earlier won't be cached).
-        """
-        jax.config.update("jax_compilation_cache_dir", str(cache_dir))
-        # cache everything — serving graphs are few and large
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-        try:
-            # the cache object initialises lazily at the FIRST compile; if
-            # this process already compiled anything (e.g. a prior cache
-            # dir), drop the instance so the new dir takes effect
-            from jax._src import compilation_cache as _cc
 
-            _cc.reset_cache()
-        except Exception:  # pragma: no cover — internal API drift
-            pass
+        Returns a zero-arg ``restore()`` that puts the three global cache
+        settings back to their previous values — the settings are
+        process-global, so an embedding process (or a test suite with its
+        own persistent cache) that serves temporarily should call it when
+        done.
+        """
+        prev = (jax.config.jax_compilation_cache_dir,
+                jax.config.jax_persistent_cache_min_compile_time_secs,
+                jax.config.jax_persistent_cache_min_entry_size_bytes)
+
+        def _apply(cache, min_secs, min_bytes):
+            jax.config.update("jax_compilation_cache_dir", cache)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                              min_secs)
+            jax.config.update("jax_persistent_cache_min_entry_size_bytes",
+                              min_bytes)
+            try:
+                # the cache object initialises lazily at the FIRST compile;
+                # if this process already compiled anything (e.g. a prior
+                # cache dir), drop the instance so the new dir takes effect
+                from jax._src import compilation_cache as _cc
+
+                _cc.reset_cache()
+            except Exception:  # pragma: no cover — internal API drift
+                pass
+
+        # cache everything — serving graphs are few and large
+        _apply(str(cache_dir), 0.0, 0)
+
+        def restore():
+            _apply(*prev)
+
+        return restore
 
     def warmup(self, rng: jax.Array | None = None) -> float:
         """Compile (or cache-load) the full serving program by running one
@@ -322,8 +342,9 @@ def main(argv=None) -> int:
                          "in PERF.md 'serving cold start')")
     args = ap.parse_args(argv)
 
+    restore_cache = None
     if args.warmup_cache:
-        Predictor.enable_compile_cache(args.warmup_cache)
+        restore_cache = Predictor.enable_compile_cache(args.warmup_cache)
 
     cfg = get_cfg_defaults()
     if args.cfg:
@@ -349,6 +370,10 @@ def main(argv=None) -> int:
     dt = time.perf_counter() - t0
     print(f"served {n} faces -> {args.out} in {dt:.1f}s "
           f"({n / max(dt, 1e-9):.2f} faces/s incl. export)")
+    if restore_cache is not None:
+        # the settings are process-global; leave them as found for
+        # in-process callers (the real CLI process exits anyway)
+        restore_cache()
     return 0
 
 

@@ -305,11 +305,18 @@ def convert_sr_checkpoint(gen: Path, out: Path, image_size: int = 128,
     _structural_check(tree, tpl, "sr3_unet")
     n = _save_leaf_npz(out, tree)
 
+    # the manifest structure must carry EVERYTHING needed to rebuild the
+    # exact module the npz was verified against — including the resolved
+    # attention topology (attn_res=(-1,) for mid-only checkpoints) and
+    # norm_groups, or a consumer rebuilding with defaults gets a
+    # mismatched param tree (e.g. the flagship image_size=224-gated
+    # reference checkpoints have no downs/ups attention)
+    manifest_struct = {k: (list(v) if isinstance(v, tuple) else v)
+                       for k, v in kw.items() if k != "dtype"}
     entry = {"kind": "sr3_unet", "source": str(gen),
              "sha256_source": sha256_file(gen), "output": str(out),
              "sha256_output": sha256_file(out), "leaves": n,
-             "structure": {k: (list(v) if isinstance(v, tuple) else v)
-                           for k, v in struct.items()},
+             "structure": manifest_struct,
              "verified": "structural"}
     if verify and _torch_and_ref_available():
         entry["max_abs_err"] = _verify_sr3(sd, tree, kw, image_size)
@@ -471,7 +478,13 @@ def check_manifest(out: Path) -> bool:
 # --------------------------------------------------------------------------
 
 def _config_snippet(out: Path, found: dict, entries: list[dict]) -> str:
-    outs = {e["kind"]: e["output"] for e in entries}
+    # first entry per kind wins: main() converts backbone.pth before the
+    # MICA-tar fallback, so with both present the snippet points at
+    # arcface.npz (insightface's original backbone — the stated policy),
+    # not arcface_from_tar.npz
+    outs = {}
+    for e in entries:
+        outs.setdefault(e["kind"], e["output"])
     model_lines = []
     if any(k.startswith("flame/") for k in outs):
         model_lines += [

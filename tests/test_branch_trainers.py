@@ -333,6 +333,14 @@ def test_evaluate_now_scan_face_masking(tmp_path):
         mask_scan_points(scan, mask=np.ones(3, bool))
     with pytest.raises(ValueError):
         mask_scan_points(scan, radius_mm=95.0)   # needs lmk7
+    # an int-typed 0/1 array of per-point length is a bool mask saved
+    # without the dtype — must NOT be treated as indices into points {0,1}
+    np.testing.assert_array_equal(
+        mask_scan_points(scan, mask=bmask.astype(np.uint8)),
+        mask_scan_points(scan, mask=bmask))
+    # out-of-range index masks raise instead of wrapping/garbage
+    with pytest.raises(ValueError):
+        mask_scan_points(scan, mask=np.array([0, len(scan)]))
 
 
 def test_point_to_surface_vs_vertex_differ():

@@ -115,11 +115,19 @@ def test_sr_real_sample(converted, manifest):
     e = _kinds(manifest)["sr3_unet"]
     s = e["structure"]
     size = 128
+    # rebuild the EXACT module the bootstrap verified: the manifest's
+    # resolved attn_res/norm_groups/image_size (the image_size=224-gated
+    # flagship checkpoints have no downs/ups attention — defaults would
+    # produce a mismatched param tree); older manifests lacking the keys
+    # fall back to the historical defaults
     net = SR3UNet(in_channel=s["in_channel"], out_channel=s["out_channel"],
                   inner_channel=s["inner_channel"],
                   channel_mults=tuple(s["channel_mults"]),
                   res_blocks=s["res_blocks"], dropout=0.0,
-                  image_size=size, dtype=jnp.bfloat16)
+                  norm_groups=s.get("norm_groups", 32),
+                  attn_res=tuple(s.get("attn_res", [16])),
+                  image_size=s.get("image_size", size),
+                  dtype=jnp.bfloat16)
     tpl = jax.eval_shape(net.init, jax.random.PRNGKey(0),
                          jnp.zeros((1, size, size, s["in_channel"])),
                          jnp.zeros((1, 1)))

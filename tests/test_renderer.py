@@ -150,6 +150,20 @@ def test_auto_tile_grid_covers_coarse_mesh():
     np.testing.assert_array_equal(auto, big)
 
 
+def test_required_tile_grid_quantized():
+    """The auto grid is a jit STATIC arg: it must land on power-of-two
+    buckets (min 4) so evolving training-vis meshes don't trigger a fresh
+    remote compile every time their bbox crosses a tile boundary."""
+    verts, faces = make_sphere(6, 8)
+    for scale in (0.1, 0.4, 0.8, 1.2):
+        g = required_tile_grid(verts * scale, faces, image_size=256)
+        assert g >= 4 and (g & (g - 1)) == 0 or g == -(-256 // 8), g
+    # slightly different meshes in the same bucket → same static value
+    g1 = required_tile_grid(verts, faces, image_size=512)
+    g2 = required_tile_grid(verts * 1.02, faces, image_size=512)
+    assert g1 == g2
+
+
 def test_render_meshes_batch_and_grid(tmp_path):
     verts, faces = make_sphere(6, 8)
     imgs = np.asarray(render_meshes(np.stack([verts, verts * 1.1]), faces,

@@ -208,14 +208,23 @@ def test_predictor_warmup_and_compile_cache(predictor_setup, tmp_path):
 
     cfg, _, ckpt = predictor_setup
     cache = tmp_path / "xla_cache"
-    Predictor.enable_compile_cache(str(cache))
-    p = Predictor.from_config(cfg, checkpoint=str(ckpt), batch_size=2)
-    wt = p.warmup()
-    assert wt > 0
-    # the persistent cache must have serialized at least the serving program
-    entries = list(cache.rglob("*"))
-    assert entries, "compile cache dir is empty after warmup"
-    # warm path: a real request after warmup reuses the compiled program
-    lr = np.random.RandomState(1).randint(0, 255, (2, 8, 8, 3), np.uint8)
-    out = p.predict(lr)
-    assert out["sr_u8"].shape == (2, 16, 16, 3)
+    restore = Predictor.enable_compile_cache(str(cache))
+    try:
+        p = Predictor.from_config(cfg, checkpoint=str(ckpt), batch_size=2)
+        wt = p.warmup()
+        assert wt > 0
+        # the persistent cache must have serialized the serving program
+        entries = list(cache.rglob("*"))
+        assert entries, "compile cache dir is empty after warmup"
+        # warm path: a request after warmup reuses the compiled program
+        lr = np.random.RandomState(1).randint(0, 255, (2, 8, 8, 3), np.uint8)
+        out = p.predict(lr)
+        assert out["sr_u8"].shape == (2, 16, 16, 3)
+    finally:
+        # the cache settings are process-global: without this, every
+        # later test's compiles serialize into this ephemeral tmp dir
+        # instead of the suite's persistent /tmp/jax_test_cache
+        restore()
+    import jax
+
+    assert jax.config.jax_compilation_cache_dir != str(cache)
