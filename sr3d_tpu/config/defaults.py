@@ -112,7 +112,13 @@ def get_cfg_defaults() -> ConfigNode:
              # dpmpp_eta: 0 = deterministic 2M (best with marginal init);
              # >0 = the 2M SDE variant (helps only at noise init, PERF.md)
              sampler="ddpm", ddim_steps=50, ddim_eta=1.0, dpmpp_eta=0.0,
-             sampler_init="noise")
+             sampler_init="noise",
+             # train_sampler: the IN-STEP SR→MICA hand-off sampler of the
+             # joint step.  "ddpm" = reference semantics (full T-step
+             # ancestral loop inside every train step); "ddim" = the
+             # quality-confirmed η=1+marginal recipe at train_ddim_steps
+             # UNet evals (~T/steps cheaper per joint step, PERF.md)
+             train_sampler="ddpm", train_ddim_steps=25)
     )
 
     sr.train = ConfigNode(

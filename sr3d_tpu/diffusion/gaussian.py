@@ -367,6 +367,8 @@ def ddim_sample_loop(
     clip_denoised: bool = True,
     time_input: Literal["gamma", "t"] = "gamma",
     init: str = "noise",
+    differentiable: bool = False,
+    remat: bool = True,
 ) -> jax.Array:
     """Deterministic/η-stochastic DDIM over a strided timestep subsequence.
 
@@ -377,6 +379,12 @@ def ddim_sample_loop(
     ``eta=1`` recovers ancestral-like variance.  ``init="marginal"``
     corrects the pure-noise start for non-zero-terminal-SNR schedules
     (see :func:`_sampler_init`) — essential for η=0 on the 16→128 config.
+
+    ``differentiable=True`` keeps the strided loop on the autodiff tape
+    (per-step rematerialisation when ``remat``), mirroring
+    :func:`p_sample_loop`'s model3 path at ``num_steps`` instead of T UNet
+    evaluations — the backprop-through-sampling cost drops by the same
+    T/num_steps factor as the forward.
     """
     T = sched.num_timesteps
     num_steps = min(num_steps, T)
@@ -405,8 +413,13 @@ def ddim_sample_loop(
         noise = jnp.where(t_prev >= 0, noise, jnp.zeros_like(noise))
         return jnp.sqrt(a_prev) * x0 + dir_xt + sigma * noise, None
 
-    img, _ = jax.lax.scan(step, img0, jnp.arange(num_steps - 1, -1, -1))
-    return jax.lax.stop_gradient(img)
+    body = step
+    if differentiable and remat:
+        body = jax.checkpoint(step, prevent_cse=False)
+    img, _ = jax.lax.scan(body, img0, jnp.arange(num_steps - 1, -1, -1))
+    if not differentiable:
+        img = jax.lax.stop_gradient(img)
+    return img
 
 
 def dpmpp_sample_loop(

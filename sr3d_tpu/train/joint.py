@@ -103,6 +103,22 @@ class JointModules:
                                           default="noise")
     dpmpp_eta: float = dataclasses.field(metadata=dict(static=True),
                                          default=0.0)
+    # In-step SR→MICA hand-off sampler (TPU-native training-throughput
+    # lever).  "ddpm" = the reference's full T-step ancestral loop
+    # (model/sr3d/model.py:351-366 super_resolution inside every joint
+    # step); "ddim" = the strided serving-point recipe (η=1 + marginal
+    # init) at ``train_ddim_steps`` UNet evaluations, confirmed to match
+    # the ancestral loop's output quality on every seed of the round-3
+    # multi-seed protocol (PERF.md "multi-seed sampler quality").  The
+    # hand-off image feeds MICA through the quantized uint8 round-trip
+    # (model2) or the continuous blob (model3); only its *content quality*
+    # matters for the MICA branch, so a quality-matched fast sampler is
+    # semantics-preserving while cutting the dominant cost of the joint
+    # step by ~T/train_ddim_steps.
+    train_sampler: str = dataclasses.field(metadata=dict(static=True),
+                                           default="ddpm")
+    train_ddim_steps: int = dataclasses.field(metadata=dict(static=True),
+                                              default=25)
 
 
 class JointTrainState(NamedTuple):
@@ -179,6 +195,10 @@ def build_joint(cfg, flame: FlameModel | None = None,
         sampler_init=str(cfg.sr.model.diffusion.get("sampler_init",
                                                     "noise")),
         dpmpp_eta=float(cfg.sr.model.diffusion.get("dpmpp_eta", 0.0)),
+        train_sampler=str(cfg.sr.model.diffusion.get("train_sampler",
+                                                     "ddpm")),
+        train_ddim_steps=int(cfg.sr.model.diffusion.get("train_ddim_steps",
+                                                        25)),
     )
 
 
@@ -304,6 +324,33 @@ def gt_flame_vertices(modules: JointModules, shape_params):
 # train / val steps
 # --------------------------------------------------------------------------
 
+def _handoff_sample(modules: "JointModules", denoise, cond, rng,
+                    differentiable: bool) -> jax.Array:
+    """The in-step SR sample fed to the MICA branch (reference
+    SR3_training → super_resolution / super_resolution_learn,
+    model/sr3d/model.py:351-366).
+
+    ``train_sampler="ddpm"`` is the reference's full ancestral loop;
+    ``"ddim"`` is the quality-confirmed serving recipe (η=1 + marginal
+    init, PERF.md round-3 protocol) at ``train_ddim_steps`` evaluations —
+    ~T/steps cheaper, differentiable for the model3 path via per-step
+    remat exactly like the ancestral loop."""
+    if modules.train_sampler == "ddim":
+        from ..diffusion.gaussian import ddim_sample_loop
+
+        return ddim_sample_loop(
+            denoise, modules.sched_train, cond, rng,
+            num_steps=modules.train_ddim_steps, eta=1.0, init="marginal",
+            differentiable=differentiable, remat=modules.sample_remat)
+    if modules.train_sampler != "ddpm":
+        raise ValueError(
+            f"unknown train_sampler {modules.train_sampler!r}: "
+            "expected 'ddpm' (reference semantics) or 'ddim'")
+    return p_sample_loop(
+        denoise, modules.sched_train, cond, rng,
+        differentiable=differentiable, remat=modules.sample_remat).final
+
+
 def make_train_step(opt: optax.GradientTransformation,
                     ema_cfg: dict | None = None,
                     with_vis: bool = False):
@@ -342,10 +389,8 @@ def make_train_step(opt: optax.GradientTransformation,
 
         # SR sampling for the MICA branch (reference SR3_training →
         # super_resolution / super_resolution_learn, model/sr3d/model.py:351-366)
-        sample = p_sample_loop(
-            denoise, modules.sched_train, cond, k_sample,
-            differentiable=differentiable, remat=modules.sample_remat)
-        final = sample.final
+        final = _handoff_sample(modules, denoise, cond, k_sample,
+                                differentiable)
         if modules.variant == "model3" and modules.sever_sr_grad:
             # reference-literal model3: continuous tensor blob, detached
             # (create_tensor_blob + .detach(), model/sr3d/model.py:483-490)
@@ -414,10 +459,10 @@ def make_eval_step():
         l_sr = p_losses_continuous(
             denoise, modules.sched_train, hr, cond, k_loss,
             loss_type=modules.loss_type) / hr.size
-        sample = p_sample_loop(denoise, modules.sched_train, cond, k_sample,
-                               remat=modules.sample_remat)
+        final = _handoff_sample(modules, denoise, cond, k_sample,
+                                differentiable=False)
         _, blob = sr_to_mica_inputs(
-            sample.final, image_size=modules.image_size,
+            final, image_size=modules.image_size,
             blob_size=modules.blob_size)
         emb, _ = encode_mica(modules, state.params, state.arcface_stats,
                              blob, train=False)

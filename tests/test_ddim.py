@@ -42,6 +42,33 @@ def test_ddim_no_gradient_leak(tiny_unet, tiny_schedule):
         lambda a, x: a + float(jnp.sum(jnp.abs(x))), g, 0.0) == 0.0
 
 
+def test_ddim_differentiable_grads_flow_and_remat_matches(tiny_unet,
+                                                          tiny_schedule):
+    """``differentiable=True`` keeps the strided loop on the tape (the fast
+    model3 hand-off): grads reach the UNet params, and the remat'd loop is
+    value- and gradient-identical to the plain differentiable one."""
+    unet, params = tiny_unet
+    cond = jnp.linspace(-1, 1, 16 * 16 * 3).reshape(1, 16, 16, 3)
+
+    def loss(p, remat):
+        out = ddim_sample_loop(lambda x, t: unet.apply(p, x, t),
+                               tiny_schedule, cond, jax.random.PRNGKey(0),
+                               num_steps=4, eta=1.0, init="marginal",
+                               differentiable=True, remat=remat)
+        return jnp.mean(out ** 2)
+
+    (v_r, g_r) = jax.value_and_grad(loss)(params, True)
+    (v_p, g_p) = jax.value_and_grad(loss)(params, False)
+    gnorm = jax.tree_util.tree_reduce(
+        lambda a, x: a + float(jnp.sum(jnp.abs(x))), g_r, 0.0)
+    assert gnorm > 0.0, "differentiable ddim must backprop into the UNet"
+    np.testing.assert_allclose(float(v_r), float(v_p), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g_r),
+                    jax.tree_util.tree_leaves(g_p)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+
+
 def test_dpmpp_first_order_equals_ddim_eta0(tiny_unet, tiny_schedule):
     """With 2 steps both updates hit the lower-order guard (first step has
     no history; the final step's target log-SNR is infinite), so

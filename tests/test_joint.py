@@ -118,6 +118,69 @@ def test_loss_partition_semantics():
             assert gnorm == 0.0, "model2 must sever l_mica → UNet gradient"
 
 
+@pytest.mark.parametrize("variant,sever", [("model2", False),
+                                           ("model3", True),
+                                           ("model3", False)])
+def test_train_sampler_ddim_handoff(variant, sever):
+    """train_sampler="ddim" (the fast in-step SR→MICA hand-off) must (a)
+    run through the full jitted train step with finite losses and updated
+    params, and (b) preserve the gradient-partition semantics: model2 and
+    severed model3 keep l_mica→UNet severed, differentiable model3 keeps
+    the (now 4-step) sampling chain on the tape."""
+    cfg = tiny_cfg(variant)
+    cfg.train.sever_sr_grad = sever
+    cfg.sr.model.diffusion.train_sampler = "ddim"
+    cfg.sr.model.diffusion.train_ddim_steps = 4
+    modules = build_joint(cfg)
+    assert modules.train_sampler == "ddim"
+    opt = make_optimizer(cfg)
+    state = init_train_state(modules, cfg, jax.random.PRNGKey(0), 16)
+    batch = batch_of()
+
+    step_fn = jax.jit(make_train_step(opt))
+    new_state, metrics = step_fn(modules, state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"]))
+    changed = jax.tree_util.tree_reduce(
+        lambda a, pair: a + float(jnp.sum(jnp.abs(pair))),
+        jax.tree_util.tree_map(lambda a, b: a - b,
+                               new_state.params, state.params), 0.0)
+    assert changed > 0.0
+
+    # partition: l_mica alone → UNet grads iff differentiable model3
+    from sr3d_tpu.models import masking as masking_ops
+    from sr3d_tpu.ops.image import sr_to_mica_inputs
+    from sr3d_tpu.train.joint import (
+        _handoff_sample,
+        decode_mica,
+        encode_mica,
+        gt_flame_vertices,
+    )
+
+    differentiable = variant == "model3" and not sever
+
+    def l_mica_only(sr_params):
+        params = dict(state.params, sr=sr_params)
+        denoise = lambda x, t: modules.unet.apply(sr_params, x, t)
+        final = _handoff_sample(modules, denoise, batch["SR"],
+                                jax.random.PRNGKey(0), differentiable)
+        if not differentiable:
+            final = jax.lax.stop_gradient(final)
+        _, blob = sr_to_mica_inputs(final, differentiable=differentiable)
+        emb, _ = encode_mica(modules, params, state.arcface_stats, blob,
+                             train=False)
+        pred, _ = decode_mica(modules, params, emb)
+        gt = gt_flame_vertices(modules, batch["flame_shape"])
+        return masking_ops.masked_vertex_l1(pred, gt, modules.vertex_weights)
+
+    g = jax.grad(l_mica_only)(state.params["sr"])
+    gnorm = jax.tree_util.tree_reduce(
+        lambda a, x: a + float(jnp.sum(jnp.abs(x))), g, 0.0)
+    if differentiable:
+        assert gnorm > 0.0, "model3 must backprop l_mica through ddim"
+    else:
+        assert gnorm == 0.0, "quantized/severed hand-off must stay severed"
+
+
 def test_use_mask_flag_controls_vertex_weights():
     """Reference default (use_mask=False) → PLAIN mean|diff|×1000; region
     weights apply only when cfg.mica.train.use_mask is set

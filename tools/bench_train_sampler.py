@@ -1,0 +1,127 @@
+"""On-chip joint-step cost of the in-step SR→MICA hand-off sampler.
+
+The reference runs the FULL T-step ancestral loop inside every joint train
+step (model/sr3d/model.py:351-366 ``super_resolution`` in SR3_training) —
+at the flagship mirrored config that loop dominates the measured
+4.03 s/step (PERF.md).  ``train_sampler: ddim`` swaps the hand-off for the
+quality-confirmed serving recipe (η=1 + marginal, round-3 multi-seed
+protocol) at ``train_ddim_steps`` UNet evaluations.  This tool measures
+the actual step-time effect on the chip:
+
+  * model2 (quantized hand-off, the flagship config) — ddpm-600 vs ddim-25
+  * model3 differentiable (backprop-through-sampling, per-step remat) —
+    ddpm-600 vs ddim-25
+
+Usage:  python tools/bench_train_sampler.py [--steps 8] [--batch 4]
+        python tools/bench_train_sampler.py --cpu   (wiring smoke, tiny)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=8)
+    ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args(argv)
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sr3d_tpu.config.defaults import get_cfg_defaults, update_cfg
+    from sr3d_tpu.train.joint import (
+        build_joint,
+        init_train_state,
+        make_optimizer,
+        make_train_step,
+    )
+
+    results = []
+    for variant, sever in (("model2", False), ("model3", False)):
+        for sampler, n_fast in (("ddpm", 0), ("ddim", 25)):
+            cfg = update_cfg(
+                get_cfg_defaults(),
+                str(REPO / f"configs/sr_sr3_VGGF2_16_128_{variant}.yml"))
+            cfg.train.sever_sr_grad = sever
+            cfg.sr.model.diffusion.train_sampler = sampler
+            cfg.sr.model.diffusion.train_ddim_steps = max(n_fast, 4)
+            if args.cpu:
+                for ph in ("train", "val"):
+                    cfg.sr.model.beta_schedule[ph].n_timestep = 8
+                cfg.sr.model.unet.inner_channel = 16
+                cfg.sr.model.unet.norm_groups = 8
+                cfg.sr.model.unet.channel_multiplier = [1, 2]
+                cfg.sr.model.unet.res_blocks = 1
+                cfg.mica.model.n_shape = 16
+                cfg.mica.model.map_hidden_dim = 32
+                cfg.mica.model.arcface_layers = [1, 1, 1, 1]
+                cfg.tpu.synthetic_flame = True
+                cfg.sr.model.diffusion.train_ddim_steps = 4
+            hr = (16 if args.cpu
+                  else int(cfg.sr.datasets.train.r_resolution))
+            modules = build_joint(cfg)
+            opt = make_optimizer(cfg)
+            state = init_train_state(modules, cfg, jax.random.PRNGKey(0), hr)
+            step_fn = jax.jit(make_train_step(opt), donate_argnums=(1,))
+
+            r = np.random.RandomState(0)
+            batch = {
+                "HR": jnp.asarray(r.uniform(-1, 1, (args.batch, hr, hr, 3)),
+                                  jnp.float32),
+                "SR": jnp.asarray(r.uniform(-1, 1, (args.batch, hr, hr, 3)),
+                                  jnp.float32),
+                "flame_shape": jnp.asarray(
+                    r.randn(args.batch, int(cfg.mica.model.n_shape)) * 0.3,
+                    jnp.float32),
+            }
+
+            t0 = time.time()
+            state, m = step_fn(modules, state, batch, jax.random.PRNGKey(1))
+            jax.device_get(m["loss"])  # barrier (compile + first step)
+            compile_s = time.time() - t0
+            t0 = time.time()
+            for i in range(args.steps):
+                state, m = step_fn(modules, state, batch,
+                                   jax.random.PRNGKey(2 + i))
+                jax.device_get(m["loss"])  # per-step barrier (CLAUDE.md)
+            per_step = (time.time() - t0) / args.steps
+            rec = {"variant": variant,
+                   "train_sampler": (f"ddim-{cfg.sr.model.diffusion.train_ddim_steps}"
+                                     if sampler == "ddim" else
+                                     f"ddpm-{cfg.sr.model.beta_schedule.train.n_timestep}"),
+                   "batch": args.batch,
+                   "compile_s": round(compile_s, 1),
+                   "sec_per_step": round(per_step, 3),
+                   "loss_finite": bool(np.isfinite(float(m["loss"])))}
+            results.append(rec)
+            print(json.dumps(rec), flush=True)
+
+    by = {(r["variant"], r["train_sampler"].split("-")[0]): r
+          for r in results}
+    for v in ("model2", "model3"):
+        if (v, "ddpm") in by and (v, "ddim") in by:
+            print(json.dumps({
+                "summary": v,
+                "speedup": round(by[(v, "ddpm")]["sec_per_step"]
+                                 / max(by[(v, "ddim")]["sec_per_step"], 1e-9),
+                                 2)}), flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
