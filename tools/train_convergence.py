@@ -36,6 +36,12 @@ def main(argv=None) -> int:
     ap.add_argument("--val-faces", type=int, default=4)
     ap.add_argument("--workdir", default="/tmp/conv_flagship")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--train-sampler", default="ddpm",
+                    choices=("ddpm", "ddim"),
+                    help="in-step SR->MICA hand-off: 'ddpm' = reference "
+                         "semantics (full T-step loop inside every joint "
+                         "step); 'ddim' = the quality-confirmed fast "
+                         "hand-off (train_sampler knob, PERF.md)")
     args = ap.parse_args(argv)
 
     import jax
@@ -100,6 +106,8 @@ def main(argv=None) -> int:
     cfg.sr.model.diffusion.ddim_steps = 4 if args.cpu else 25
     cfg.sr.model.diffusion.ddim_eta = 1.0
     cfg.sr.model.diffusion.sampler_init = "marginal"
+    cfg.sr.model.diffusion.train_sampler = args.train_sampler
+    cfg.sr.model.diffusion.train_ddim_steps = 4 if args.cpu else 25
     cfg.tpu.mesh_shape = [1, 1]
 
     trainer = Trainer(cfg)
