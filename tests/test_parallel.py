@@ -196,3 +196,42 @@ def test_spatial_sharded_sampling_matches_replicated(tiny_unet,
             jax.device_put(jax.random.PRNGKey(2), repl))
     assert len(out.addressable_shards) == 4
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_ddim_handoff_joint_step_dp_matches_single(mesh8):
+    """The fast in-step SR→MICA hand-off (train_sampler="ddim") through the
+    FULL joint train step, 8-way DP-sharded batch == single-device step —
+    the new hand-off path must be GSPMD-safe like the ancestral one."""
+    from tests.test_joint import batch_of, tiny_cfg
+
+    from sr3d_tpu.train.joint import (
+        build_joint,
+        init_train_state,
+        make_optimizer,
+        make_train_step,
+    )
+
+    cfg = tiny_cfg("model2")
+    cfg.sr.model.diffusion.train_sampler = "ddim"
+    cfg.sr.model.diffusion.train_ddim_steps = 4
+    modules = build_joint(cfg)
+    opt = make_optimizer(cfg)
+    state = init_train_state(modules, cfg, jax.random.PRNGKey(0), 16)
+    batch = batch_of(n=8)
+    step = make_train_step(opt)
+    rng = jax.random.PRNGKey(3)
+
+    _, m1 = jax.jit(step)(modules, state, batch, rng)
+
+    repl = jax.sharding.NamedSharding(mesh8, jax.sharding.PartitionSpec())
+    state8 = jax.device_put(state, repl)
+    modules8 = jax.tree_util.tree_map(
+        lambda a: jax.device_put(a, repl), modules)
+    batch8 = {k: jax.device_put(v, batch_sharding(mesh8, ndim=v.ndim))
+              for k, v in batch.items()}
+    _, m8 = jax.jit(step)(modules8, state8, batch8,
+                          jax.device_put(rng, repl))
+
+    for k in ("l_sr", "l_mica", "loss"):
+        np.testing.assert_allclose(float(m1[k]), float(m8[k]), rtol=2e-5,
+                                   err_msg=k)
