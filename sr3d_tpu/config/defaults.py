@@ -86,9 +86,11 @@ def get_cfg_defaults() -> ConfigNode:
             res_blocks=2,
             dropout=0.2,
             norm_groups=32,
-            # w8a8 int8 convs at spatial res >= this at INFERENCE (0=off;
-            # serving/sampling only — training always runs the fp convs).
-            # See PERF.md "int8 at the O=64 levels".
+            # w8a8 int8 convs at levels whose actual feature-map res is
+            # >= this, at INFERENCE (0=off).  A SERVING knob: the train
+            # step and the Trainer's in-training validation always run
+            # the fp convs (make_val_step(int8=False)); serve.Predictor
+            # engages it.  See PERF.md "int8 at the O=64 levels".
             quant_min_res=0,
         )
     )

@@ -75,13 +75,28 @@ class LmdbReader:
         except ValueError as e:
             raise LmdbFormatError(f"{p}: cannot mmap ({e})") from e
         meta0 = self._parse_meta(0)
-        if meta0 is None:
+        metas = [meta0] if meta0 is not None else []
+        if meta0 is not None:
+            meta1 = self._parse_meta(meta0["psize"])
+            if meta1 is not None:
+                metas.append(meta1)
+        else:
+            # meta page 0 torn (e.g. the env was copied mid-commit or a
+            # writer crashed) — LMDB's double-meta design makes this
+            # recoverable: probe meta page 1 at each legal page size and
+            # accept the one whose recorded psize matches its offset
+            ps = 512
+            while ps <= 65536:
+                m = self._parse_meta(ps)
+                if m is not None and m["psize"] == ps:
+                    metas.append(m)
+                    break
+                ps <<= 1
+        if not metas:
             raise LmdbFormatError(
-                f"{p}: bad LMDB magic/version in meta page 0")
-        self.psize = meta0["psize"]
-        meta1 = self._parse_meta(self.psize)
-        metas = [m for m in (meta0, meta1) if m is not None]
+                f"{p}: no valid LMDB meta page (pages 0 and 1 both bad)")
         meta = max(metas, key=lambda m: m["txnid"])
+        self.psize = meta["psize"]
         self.main = meta["main"]
         if self.main["flags"]:
             # MDB_INTEGERKEY (0x08) keys sort in native-integer order, not
@@ -307,18 +322,28 @@ def write_lmdb(path: str | os.PathLike, kv: dict[bytes, bytes],
         while len(level) > 1:
             depth += 1
             nxt, i = [], 0
-            per = max(2, (psize - PAGEHDRSZ) // (2 + _even(NODEHDRSZ + 64)))
             while i < len(level):
-                grp = level[i:i + per]
-                nodes = []
-                for j, (fk, child) in enumerate(grp):
-                    key = b"" if j == 0 else fk
-                    nodes.append(struct.pack(
+                # greedy fan-out by ACTUAL node size (node 0's key is the
+                # implicit -inf, so it is always the smallest) — a fixed
+                # per-key estimate overflowed emit_node_page for long keys
+                nodes, size, first_key = [], 0, level[i][0]
+                while i < len(level):
+                    fk, child = level[i]
+                    key = b"" if not nodes else fk
+                    nb = struct.pack(
                         "<4H", child & 0xFFFF, (child >> 16) & 0xFFFF,
-                        (child >> 32) & 0xFFFF, len(key)) + key)
-                nxt.append((grp[0][0], emit_node_page(P_BRANCH, nodes)))
+                        (child >> 32) & 0xFFFF, len(key)) + key
+                    need = _even(len(nb)) + 2
+                    if nodes and PAGEHDRSZ + size + need > psize:
+                        break
+                    nodes.append(nb)
+                    size += need
+                    i += 1
+                if len(nodes) == 1 and i < len(level):
+                    raise ValueError(
+                        "branch fan-out < 2 — keys too large for psize")
+                nxt.append((first_key, emit_node_page(P_BRANCH, nodes)))
                 counts["branch"] += 1
-                i += per
             level = nxt
         root = level[0][1]
 

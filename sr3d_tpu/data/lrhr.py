@@ -56,13 +56,20 @@ def get_paths_from_images(path: str | os.PathLike) -> list[str]:
     return images
 
 
-def load_image_m11(path: str | os.PathLike) -> np.ndarray:
-    """PNG/JPG → float32 HWC in [-1, 1] (reference transform_augment
-    min_max=(-1,1), datasets/util.py:76-83)."""
+def decode_image_m11(raw) -> np.ndarray:
+    """Encoded image bytes / open file / path → float32 HWC in [-1, 1]
+    (reference transform_augment min_max=(-1,1), datasets/util.py:76-83).
+    The single normalisation point for BOTH the img-dir and lmdb
+    datatypes — keep them from drifting."""
     from PIL import Image
 
-    img = np.asarray(Image.open(path).convert("RGB"), dtype=np.float32)
+    img = np.asarray(Image.open(raw).convert("RGB"), dtype=np.float32)
     return img / 127.5 - 1.0
+
+
+def load_image_m11(path: str | os.PathLike) -> np.ndarray:
+    """PNG/JPG file → float32 HWC in [-1, 1] (see decode_image_m11)."""
+    return decode_image_m11(path)
 
 
 def transform_augment(imgs: list[np.ndarray], split: str = "val",
@@ -144,8 +151,6 @@ class LRHRDataset:
         same per-item RNG that drives the flip augmentation."""
         import io as _io
 
-        from PIL import Image
-
         def fetch(i):
             hr = self._env.get(f"hr_{self.r_res}_{i:05d}".encode())
             sr = self._env.get(
@@ -169,9 +174,7 @@ class LRHRDataset:
                 f"pair after resampling (started at index {index})")
 
         def dec(raw):
-            arr = np.asarray(Image.open(_io.BytesIO(raw)).convert("RGB"),
-                             dtype=np.float32)
-            return arr / 127.5 - 1.0
+            return decode_image_m11(_io.BytesIO(raw))
 
         return dec(hr_b), dec(sr_b), (dec(lr_b) if lr_b is not None
                                       else None)

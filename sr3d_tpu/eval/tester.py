@@ -177,26 +177,44 @@ def mask_scan_points(scan_mm: np.ndarray, mask: np.ndarray | None = None,
                 raise ValueError(
                     f"boolean scan mask has {mask.shape[0]} entries for "
                     f"{n} scan points")
-            return scan_mm[mask]
-        idx = mask.astype(np.int64).ravel()
-        # an int-typed 0/1 array of per-point length is a boolean mask
-        # saved without the bool dtype (common via image tools / casts) —
-        # indexing with it would silently collapse the scan to copies of
-        # points 0 and 1
-        if idx.shape[0] == n and idx.size and idx.min() >= 0 \
-                and idx.max() <= 1 and n > 2:
-            return scan_mm[idx.astype(bool)]
-        if idx.size and (idx.min() < 0 or idx.max() >= n):
-            raise ValueError(
-                f"scan index mask has entries outside [0, {n}) "
-                f"(min {idx.min()}, max {idx.max()})")
-        return scan_mm[idx]
-    if radius_mm is not None:
+            out = scan_mm[mask]
+        else:
+            idx = mask.astype(np.int64).ravel()
+            # an int-typed 0/1 array of per-point length is a boolean mask
+            # saved without the bool dtype (common via image tools /
+            # casts) — indexing with it would silently collapse the scan
+            # to copies of points 0 and 1
+            if idx.shape[0] == n and idx.size and idx.min() >= 0 \
+                    and idx.max() <= 1 and n > 2:
+                import warnings
+
+                warnings.warn(
+                    "scan mask is an int-typed 0/1 array of per-point "
+                    "length — interpreting it as a boolean mask, not "
+                    "point indices; save masks with dtype=bool (or as a "
+                    "proper index list) to silence this", stacklevel=2)
+                out = scan_mm[idx.astype(bool)]
+            else:
+                if idx.size and (idx.min() < 0 or idx.max() >= n):
+                    raise ValueError(
+                        f"scan index mask has entries outside [0, {n}) "
+                        f"(min {idx.min()}, max {idx.max()})")
+                out = scan_mm[idx]
+    elif radius_mm is not None:
         if lmk7_mm is None:
             raise ValueError("radius_mm cropping needs the scan's lmk7")
         d = np.linalg.norm(scan_mm - np.asarray(lmk7_mm).mean(0), axis=-1)
-        return scan_mm[d <= float(radius_mm)]
-    return scan_mm
+        out = scan_mm[d <= float(radius_mm)]
+    else:
+        return scan_mm
+    if scan_mm.shape[0] and not out.shape[0]:
+        raise ValueError(
+            "scan face-masking selected 0 of %d points — an all-False "
+            "mask, or a crop radius smaller than every landmark-centroid "
+            "distance (unit mismatch? scans/landmarks must be in mm); "
+            "NoW statistics over an empty scan would be nan"
+            % scan_mm.shape[0])
+    return out
 
 
 def now_distance(pred_verts_mm: np.ndarray, pred_lmk7_mm: np.ndarray,

@@ -265,10 +265,13 @@ class SR3UNet(nn.Module):
     image_size: int = 128
     dtype: jnp.dtype = jnp.bfloat16
     remat: bool = False
-    # w8a8 int8 convs at spatial resolutions >= this (0 = off).  A
-    # SERVING knob: inference-only (round() has no gradient), targets the
-    # MXU-lane-starved wide levels (PERF.md "int8 at the O=64 levels").
-    # Same param tree either way — trained checkpoints load unchanged.
+    # w8a8 int8 convs at levels whose ACTUAL feature-map resolution
+    # (trace-time spatial dim of the activation, NOT the image_size-based
+    # attention track — the flagship configs set image_size=224 over 128²
+    # data) is >= this (0 = off).  A SERVING knob: inference-only
+    # (round() has no gradient), targets the MXU-lane-starved wide levels
+    # (PERF.md "int8 at the O=64 levels").  Same param tree either way —
+    # trained checkpoints load unchanged.
     quant_min_res: int = 0
 
     @nn.compact
@@ -302,7 +305,10 @@ class SR3UNet(nn.Module):
             is_last = ind == num_mults - 1
             use_attn = now_res in attn_res
             ch = self.inner_channel * self.channel_mults[ind]
-            use_quant = quant and 0 < self.quant_min_res <= now_res
+            # quant gates on the REAL activation resolution (static at
+            # trace time); attention keeps the image_size-seeded now_res
+            # track (the reference's topology quirk, unet.py:192)
+            use_quant = quant and 0 < self.quant_min_res <= h.shape[1]
             for b in range(self.res_blocks):
                 h = block_cls(ch, self.norm_groups, self.dropout,
                               with_attn=use_attn, dtype=self.dtype,
@@ -327,7 +333,7 @@ class SR3UNet(nn.Module):
         for ind in reversed(range(num_mults)):
             is_last = ind < 1
             use_attn = now_res in attn_res
-            use_quant = quant and 0 < self.quant_min_res <= now_res
+            use_quant = quant and 0 < self.quant_min_res <= h.shape[1]
             ch = self.inner_channel * self.channel_mults[ind]
             for b in range(self.res_blocks + 1):
                 skip = feats.pop()

@@ -475,18 +475,25 @@ def make_eval_step():
     return eval_step
 
 
-def make_val_step(use_ema: bool = False):
+def make_val_step(use_ema: bool = False, int8: bool | None = None):
     """Returns jittable ``val_step(modules, state, batch, rng) -> outputs``
     mirroring ``test_val`` (reference model/sr3d/model.py:368-439): full
     val-schedule sampling, on-device PSNR inputs, MICA prediction + 68
-    landmarks."""
+    landmarks.
+
+    ``int8`` controls the w8a8 serving path: ``None`` (default) engages it
+    iff the UNet's ``quant_min_res`` knob is set — what ``serve.Predictor``
+    wants; ``False`` forces fp sampling regardless of the knob — what the
+    Trainer's in-training validation uses, so a training config carrying
+    ``quant_min_res`` for later serving never contaminates the logged val
+    PSNR trajectory with quantization error."""
 
     def val_step(modules: JointModules, state: JointTrainState, batch, rng):
         sr_params = (state.ema.params if (use_ema and state.ema is not None)
                      else state.params["sr"])
-        denoise = _sr_denoise_fn(
-            modules, sr_params,
-            quant=getattr(modules.unet, "quant_min_res", 0) > 0)
+        use_int8 = (getattr(modules.unet, "quant_min_res", 0) > 0
+                    if int8 is None else bool(int8))
+        denoise = _sr_denoise_fn(modules, sr_params, quant=use_int8)
         if modules.val_sampler == "ddim":
             from ..diffusion.gaussian import ddim_sample_loop
 

@@ -201,7 +201,7 @@ class Trainer:
         # resharding — and the B=1 per-sample val batch (reference protocol:
         # val_loader batch_size=1) is replicated.  Outputs inherit.
         self._val_step = jax.jit(
-            make_val_step(use_ema=val_use_ema),
+            make_val_step(use_ema=val_use_ema, int8=False),
             in_shardings=(self._repl, self._state_shardings, self._repl,
                           self._repl))
 

@@ -341,6 +341,13 @@ def test_evaluate_now_scan_face_masking(tmp_path):
     # out-of-range index masks raise instead of wrapping/garbage
     with pytest.raises(ValueError):
         mask_scan_points(scan, mask=np.array([0, len(scan)]))
+    # an empty selection must raise, not feed nan into the NoW statistics:
+    # all-False masks and a crop radius below every centroid distance
+    # (the classic m-vs-mm unit mistake) are both silent-nan traps
+    with pytest.raises(ValueError, match="0 of"):
+        mask_scan_points(scan, mask=np.zeros(len(scan), bool))
+    with pytest.raises(ValueError, match="0 of"):
+        mask_scan_points(scan, lmk7_mm=lmk7, radius_mm=1e-9)
 
 
 def test_point_to_surface_vs_vertex_differ():

@@ -10,6 +10,7 @@ import pytest
 
 from sr3d_tpu.data.lmdb_reader import (
     MAGIC,
+    PAGEHDRSZ,
     P_INVALID,
     LmdbFormatError,
     LmdbReader,
@@ -81,6 +82,35 @@ def test_meta_selection_newest_txn(tmp_path):
     with LmdbReader(tmp_path / "env") as r2:
         assert r2.main["root"] == P_INVALID
         assert r2.get(b"a") is None
+
+
+def test_long_keys_multilevel_btree(tmp_path):
+    """Branch-page fan-out must be sized from ACTUAL key lengths: 206-byte
+    keys (legal — LMDB accepts up to 511) with enough entries for a second
+    B-tree level used to overflow the fixed 64-byte estimate."""
+    kv = {b"k%04d" % i + b"x" * 200: b"v%d" % i for i in range(2000)}
+    write_lmdb(tmp_path / "env", kv)
+    with LmdbReader(tmp_path / "env") as r:
+        assert len(r) == 2000
+        assert r.main["depth"] >= 2
+        for i in (0, 1, 999, 1998, 1999):
+            assert r.get(b"k%04d" % i + b"x" * 200) == b"v%d" % i
+        assert r.get(b"k9999" + b"x" * 200) is None
+        assert sum(1 for _ in r.keys()) == 2000
+
+
+def test_torn_meta0_recovers_via_meta1(tmp_path):
+    """A data.mdb with a corrupt meta page 0 but a valid meta page 1 (a
+    writer crash / mid-commit copy) is readable — LMDB's double-meta
+    design makes it recoverable, and the C library opens it fine."""
+    kv = {b"k%02d" % i: b"v%d" % i for i in range(20)}
+    write_lmdb(tmp_path / "env", kv, psize=4096)
+    raw = bytearray((tmp_path / "env" / "data.mdb").read_bytes())
+    struct.pack_into("<I", raw, PAGEHDRSZ, 0xDEADBEEF)  # torn meta0 magic
+    (tmp_path / "env" / "data.mdb").write_bytes(bytes(raw))
+    with LmdbReader(tmp_path / "env") as r:
+        assert len(r) == 20
+        assert r.get(b"k07") == b"v7"
 
 
 def test_bad_magic_raises(tmp_path):

@@ -84,6 +84,33 @@ def test_unet_quant_min_res_zero_is_noop():
         np.asarray(unet.apply(params, x, t)))
 
 
+def test_quant_gates_on_actual_resolution():
+    """quant_min_res compares against the REAL trace-time feature-map
+    resolution, not the image_size-seeded attention track — the flagship
+    configs set diffusion.image_size=224 over 128² data, so a track-based
+    gate would quantize levels whose actual activations are far smaller
+    than the threshold."""
+    unet = SR3UNet(in_channel=6, out_channel=3, inner_channel=32,
+                   norm_groups=8, channel_mults=(1, 2), attn_res=(8,),
+                   res_blocks=1, dropout=0.0, image_size=224,
+                   dtype=jnp.float32, quant_min_res=32)
+    x = jax.random.normal(jax.random.PRNGKey(6), (1, 16, 16, 6))
+    t = jnp.full((1, 1), 0.5)
+    params = unet.init(jax.random.PRNGKey(0), x, t)
+    # actual top resolution is 16 < 32: nothing quantizes (the 224-based
+    # track would have engaged every level)
+    np.testing.assert_array_equal(
+        np.asarray(unet.apply(params, x, t, quant=True)),
+        np.asarray(unet.apply(params, x, t)))
+    # threshold at the actual resolution: engages
+    lo = SR3UNet(**{**{f: getattr(unet, f) for f in (
+        "in_channel", "out_channel", "inner_channel", "norm_groups",
+        "channel_mults", "attn_res", "res_blocks", "dropout",
+        "image_size", "dtype")}, "quant_min_res": 16})
+    q = lo.apply(params, x, t, quant=True)
+    assert float(jnp.max(jnp.abs(q - unet.apply(params, x, t)))) > 0
+
+
 def test_quant_respects_min_res_boundary(tiny_unet):
     """quant_min_res above the top resolution quantizes nothing."""
     unet, params = tiny_unet
@@ -143,6 +170,7 @@ def test_val_step_uses_quant_when_knob_set():
 
     outs = {}
     states = {}
+    fp_forced = None
     for qmr in (0, 16):
         cfg.sr.model.unet.quant_min_res = qmr
         modules = build_joint(cfg)
@@ -150,6 +178,12 @@ def test_val_step_uses_quant_when_knob_set():
         state = init_train_state(modules, cfg, jax.random.PRNGKey(0), 16)
         outs[qmr] = make_val_step()(modules, state, batch(),
                                     jax.random.PRNGKey(1))
+        if qmr:
+            # int8=False forces fp regardless of the knob — the Trainer's
+            # in-training validation path (a training config carrying the
+            # serving knob must not contaminate the val PSNR trajectory)
+            fp_forced = make_val_step(int8=False)(
+                modules, state, batch(), jax.random.PRNGKey(1))
         # one train step: must run (fp) regardless of the knob
         tstep = make_train_step(opt)
         new_state, metrics = tstep(modules, state, batch(),
@@ -159,6 +193,8 @@ def test_val_step_uses_quant_when_knob_set():
 
     d = float(jnp.max(jnp.abs(outs[16]["sr"] - outs[0]["sr"])))
     assert d > 0, "quant knob must change the val sampling path"
+    np.testing.assert_array_equal(np.asarray(fp_forced["sr"]),
+                                  np.asarray(outs[0]["sr"]))
     # the knob must NOT change training: identical params after one step
     for a, b in zip(jax.tree.leaves(states[0].params),
                     jax.tree.leaves(states[16].params)):

@@ -199,8 +199,10 @@ def run_config(name, args, results):
             # quality of the w8a8 serving path at each quantization depth
             # (unet quant_min_res knob): res = top level only (the
             # MXU-lane-starved convs), res//2 adds the next level, 1 =
-            # every conv.  Same fp params — Int8Conv quantizes at trace
-            # time.  Depths match tools/bench_width_int8.py --e2e.
+            # every down/up ResnetBlock conv (stem/mid/final/1×1/resample
+            # convs always stay fp — see sr3_unet.py).  Same fp params —
+            # Int8Conv quantizes at trace time.  Depths match
+            # tools/bench_width_int8.py --e2e.
             for min_res in (res, res // 2, res // 4, 1):
                 qunet = unet.clone(quant_min_res=min_res)
                 qden = lambda x, t: qunet.apply(  # noqa: E731

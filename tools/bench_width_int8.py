@@ -172,7 +172,9 @@ def run_e2e(args, results):
     (ops/quant.py via the UNet's quant_min_res knob) vs the fp step, at
     several quantization depths: min_res=128 quantizes only the two
     lane-starved 128² O=64 levels; 64 adds the C=128 levels; 1 = every
-    conv in the net."""
+    down/up ResnetBlock conv (the quant path covers the encoder/decoder
+    blocks only — stem conv_in, mid blocks, final_conv, skip 1×1s and
+    the up/downsample convs always stay fp)."""
     import jax.numpy as jnp
 
     from sr3d_tpu.models.sr3_unet import SR3UNet
