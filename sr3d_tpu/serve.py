@@ -327,11 +327,14 @@ def main(argv=None) -> int:
                          "quality') — prefer ddim unless latency-bound")
     ap.add_argument("--steps", type=int, default=None,
                     help="strided sampler step count (ddim/dpm++)")
-    ap.add_argument("--int8", type=int, default=0, metavar="MIN_RES",
+    ap.add_argument("--int8", type=int, default=None, metavar="MIN_RES",
                     help="w8a8 int8 convs at spatial res >= MIN_RES "
-                         "(e.g. 128; sets sr.model.unet.quant_min_res). "
-                         "Same checkpoint, ~8-bit quantization error; "
-                         "see PERF.md 'int8 at the O=64 levels'")
+                         "(sets sr.model.unet.quant_min_res; 0 forces fp). "
+                         "Default 1 (all ResnetBlock convs): same fp "
+                         "checkpoint, confirmed quality-neutral at every "
+                         "depth by the on-chip multi-seed protocol and "
+                         "+17%% throughput (PERF.md 'int8 at the O=64 "
+                         "levels'). Pass --int8 0 for exact-fp sampling.")
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--ema", action="store_true")
     ap.add_argument("--warmup-cache", default=None, metavar="DIR",
@@ -353,8 +356,15 @@ def main(argv=None) -> int:
         cfg.sr.model.diffusion.sampler = args.sampler
     if args.steps:
         cfg.sr.model.diffusion.ddim_steps = args.steps
-    if args.int8:
+    if args.int8 is not None:
         cfg.sr.model.unet.quant_min_res = args.int8
+    elif not int(cfg.sr.model.unet.quant_min_res or 0):
+        # round-3 serving default: w8a8 at every ResnetBlock conv —
+        # quality-neutral on every seed of the multi-seed protocol at
+        # every quant depth (SAMPLER_STUDY_r3_int8.json) and measured
+        # +17% sampling throughput (PERF.md).  A config that sets its
+        # own quant_min_res wins; --int8 0 forces exact-fp sampling.
+        cfg.sr.model.unet.quant_min_res = 1
 
     paths = get_paths_from_images(args.input)
     names = bundle_names(paths, args.input)

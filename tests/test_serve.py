@@ -177,6 +177,51 @@ def test_serve_cli(predictor_setup, tmp_path):
     assert arr.shape == (16, 16, 3)
 
 
+def test_serve_cli_int8_default(predictor_setup, tmp_path, monkeypatch):
+    """The serving CLI defaults to the quality-confirmed int8 serving
+    point (quant_min_res=1, PERF.md 'int8 at the O=64 levels'); --int8 0
+    forces exact-fp; an explicit --int8 N and a config's own
+    quant_min_res both win over the default."""
+    from PIL import Image
+
+    import sr3d_tpu.serve as serve_mod
+
+    cfg, _, ckpt = predictor_setup
+    lr_dir = tmp_path / "lr"
+    lr_dir.mkdir()
+    Image.fromarray(np.zeros((8, 8, 3), np.uint8)).save(lr_dir / "f.png")
+    cfg_file = tmp_path / "cfg.yml"
+    cfg_file.write_text(cfg.dump())
+    seen = []
+
+    class Stub:
+        def export(self, imgs, out, names=None):
+            return len(names)
+
+    def fake_from_config(c, **kw):
+        seen.append(int(c.sr.model.unet.quant_min_res))
+        return Stub()
+
+    monkeypatch.setattr(serve_mod.Predictor, "from_config",
+                        staticmethod(fake_from_config))
+    base = ["-c", str(cfg_file), "-ckt", str(ckpt),
+            "--input", str(lr_dir), "--out", str(tmp_path / "o")]
+    assert serve_mod.main(base) == 0                    # default
+    assert serve_mod.main(base + ["--int8", "0"]) == 0  # forced fp
+    assert serve_mod.main(base + ["--int8", "128"]) == 0
+    assert seen == [1, 0, 128]
+
+    cfg2 = cfg.clone()
+    cfg2.sr.model.unet.quant_min_res = 64
+    cfg_file2 = tmp_path / "cfg2.yml"
+    cfg_file2.write_text(cfg2.dump())
+    seen.clear()
+    assert serve_mod.main(["-c", str(cfg_file2), "-ckt", str(ckpt),
+                           "--input", str(lr_dir),
+                           "--out", str(tmp_path / "o2")]) == 0
+    assert seen == [64]
+
+
 def test_bundle_names_dedup():
     """Duplicate stems across subdirectories disambiguate with the subdir;
     unique stems stay bare."""
