@@ -184,7 +184,7 @@ def run_config(name, args, results):
         evaluate(f"ddpm-{T}-marginal",
                  p_sample_loop(den, sched, val_cond, k,
                                init="marginal").final)
-        for n_fast in (fast, half):
+        for n_fast in (fast, half, *args.extra_ddim):
             evaluate(f"ddim-{n_fast}-eta1-marginal",
                      ddim_sample_loop(den, sched, val_cond, k,
                                       num_steps=n_fast, eta=1.0,
@@ -210,6 +210,17 @@ def run_config(name, args, results):
                 evaluate(f"ddim-{fast}-eta1-marginal-int8@{min_res}",
                          ddim_sample_loop(qden, sched, val_cond, k,
                                           num_steps=fast, eta=1.0,
+                                          init="marginal"))
+            # the int8 serving depth (1) at each extra step count, so a
+            # lower-step serving point is qualified under the SAME w8a8
+            # path that serves it
+            for n_fast in args.extra_ddim:
+                qunet = unet.clone(quant_min_res=1)
+                qden = lambda x, t: qunet.apply(  # noqa: E731
+                    params, x, t, quant=True)
+                evaluate(f"ddim-{n_fast}-eta1-marginal-int8@1",
+                         ddim_sample_loop(qden, sched, val_cond, k,
+                                          num_steps=n_fast, eta=1.0,
                                           init="marginal"))
         if args.full_matrix:
             for init in ("noise", "marginal"):
@@ -330,12 +341,20 @@ def main(argv=None) -> int:
     ap.add_argument("--int8-eval", action="store_true",
                     help="also evaluate the w8a8 int8 serving path "
                          "(ops/quant.py) at the fast-sampler point")
+    ap.add_argument("--extra-ddim", default="",
+                    help="comma list of ADDITIONAL ddim-eta1-marginal "
+                         "step counts to qualify (e.g. 8,12,16 — probing "
+                         "a cheaper serving point than T//24); with "
+                         "--int8-eval each is also evaluated through the "
+                         "int8@1 serving path")
     ap.add_argument("--out", default="",
                     help="write all records + aggregate to this JSON file")
     ap.add_argument("--tiny", action="store_true",
                     help="legacy alias for --config tiny (CPU)")
     args = ap.parse_args(argv)
     args.seeds = [int(s) for s in str(args.seeds).split(",") if s != ""]
+    args.extra_ddim = [int(s) for s in str(args.extra_ddim).split(",")
+                       if s != ""]
     configs = ["tiny"] if args.tiny else args.config.split(",")
 
     import jax
