@@ -92,6 +92,10 @@ def get_cfg_defaults() -> ConfigNode:
             # the fp convs (make_val_step(int8=False)); serve.Predictor
             # engages it.  See PERF.md "int8 at the O=64 levels".
             quant_min_res=0,
+            # also quantize the Downsample/Upsample transition convs
+            # (dynamic per-tensor activation scale); same quant_min_res
+            # resolution gate, serving-only
+            quant_resample=False,
         )
     )
     sr.model.beta_schedule = ConfigNode()

@@ -225,23 +225,40 @@ class ResnetBlocWithAttn(nn.Module):
 
 
 class Downsample(nn.Module):
+    """Strided 3×3 conv.  ``quant=True`` uses the w8a8 ``Int8Conv`` with a
+    DYNAMIC per-tensor activation scale — the input is a residual sum with
+    no GN affine to derive a static bound from; the abs-max reduce fuses
+    into the producer (same param tree, serving-only)."""
     dim: int
     dtype: jnp.dtype = jnp.bfloat16
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        if self.quant:
+            from ..ops.quant import Int8Conv
+
+            return Int8Conv(self.dim, (3, 3), strides=(2, 2),
+                            dtype=self.dtype, name="conv")(x)
         return nn.Conv(self.dim, (3, 3), strides=(2, 2), padding=1,
                        dtype=self.dtype, name="conv")(x)
 
 
 class Upsample(nn.Module):
+    """Nearest 2× resize + 3×3 conv; ``quant`` as in ``Downsample``."""
     dim: int
     dtype: jnp.dtype = jnp.bfloat16
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         B, H, W, C = x.shape
         x = jax.image.resize(x, (B, H * 2, W * 2, C), method="nearest")
+        if self.quant:
+            from ..ops.quant import Int8Conv
+
+            return Int8Conv(self.dim, (3, 3), dtype=self.dtype,
+                            name="conv")(x)
         return nn.Conv(self.dim, (3, 3), padding=1, dtype=self.dtype,
                        name="conv")(x)
 
@@ -273,6 +290,11 @@ class SR3UNet(nn.Module):
     # (PERF.md "int8 at the O=64 levels").  Same param tree either way —
     # trained checkpoints load unchanged.
     quant_min_res: int = 0
+    # additionally quantize the Downsample/Upsample transition convs
+    # (dynamic per-tensor activation scale — no GN affine to bound them
+    # statically).  Gated by the same quant_min_res resolution threshold;
+    # default off pending on-chip quality+throughput qualification.
+    quant_resample: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, time: jax.Array, *,
@@ -316,7 +338,10 @@ class SR3UNet(nn.Module):
                               name=f"down_{ind}_{b}")(h, t)
                 feats.append(h)
             if not is_last:
+                ds_quant = (quant and self.quant_resample
+                            and 0 < self.quant_min_res <= h.shape[1])
                 h = Downsample(h.shape[-1], dtype=self.dtype,
+                               quant=ds_quant,
                                name=f"downsample_{ind}")(h)
                 feats.append(h)
                 now_res //= 2
@@ -343,7 +368,11 @@ class SR3UNet(nn.Module):
                               name=f"up_{ind}_{b}")(
                                   jnp.concatenate([h, skip], axis=-1), t)
             if not is_last:
+                # gate on the conv's ACTUAL resolution (after the 2× resize)
+                us_quant = (quant and self.quant_resample
+                            and 0 < self.quant_min_res <= 2 * h.shape[1])
                 h = Upsample(h.shape[-1], dtype=self.dtype,
+                             quant=us_quant,
                              name=f"upsample_{ind}")(h)
                 now_res *= 2
 
@@ -369,4 +398,5 @@ def unet_from_config(unet_cfg, diffusion_cfg, *, dtype=jnp.bfloat16,
         dtype=dtype,
         remat=remat,
         quant_min_res=int(unet_cfg.get("quant_min_res", 0) or 0),
+        quant_resample=bool(unet_cfg.get("quant_resample", False)),
     )

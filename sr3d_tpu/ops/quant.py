@@ -90,6 +90,7 @@ class Int8Conv(nn.Module):
     features: int
     kernel_size: tuple = (3, 3)
     padding: int = 1
+    strides: tuple = (1, 1)
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
@@ -102,5 +103,6 @@ class Int8Conv(nn.Module):
         bias = self.param("bias", nn.initializers.zeros,
                           (self.features,), jnp.float32)
         pad = [(self.padding, self.padding)] * 2
-        return int8_conv(x, kernel, bias, padding=pad, out_dtype=self.dtype,
+        return int8_conv(x, kernel, bias, padding=pad,
+                         strides=self.strides, out_dtype=self.dtype,
                          a_scale=a_scale)

@@ -335,6 +335,11 @@ def main(argv=None) -> int:
                          "depth by the on-chip multi-seed protocol and "
                          "+17%% throughput (PERF.md 'int8 at the O=64 "
                          "levels'). Pass --int8 0 for exact-fp sampling.")
+    ap.add_argument("--int8-resample", action="store_true",
+                    help="additionally quantize the Downsample/Upsample "
+                         "transition convs (sets "
+                         "sr.model.unet.quant_resample; dynamic "
+                         "activation scale)")
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--ema", action="store_true")
     ap.add_argument("--warmup-cache", default=None, metavar="DIR",
@@ -365,6 +370,8 @@ def main(argv=None) -> int:
         # +17% sampling throughput (PERF.md).  A config that sets its
         # own quant_min_res wins; --int8 0 forces exact-fp sampling.
         cfg.sr.model.unet.quant_min_res = 1
+    if args.int8_resample:
+        cfg.sr.model.unet.quant_resample = True
 
     paths = get_paths_from_images(args.input)
     names = bundle_names(paths, args.input)

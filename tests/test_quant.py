@@ -126,6 +126,53 @@ def test_quant_respects_min_res_boundary(tiny_unet):
         np.asarray(hi.apply(params, x, t)))
 
 
+def test_int8conv_strided_matches_fp_within_quant_tolerance():
+    """The Downsample transition conv (3×3 stride 2) through Int8Conv."""
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (2, 16, 16, 24), jnp.float32)
+    p_fp = nn.Conv(24, (3, 3), strides=(2, 2), padding=1,
+                   dtype=jnp.float32).init(jax.random.PRNGKey(1), x)
+    ref = nn.Conv(24, (3, 3), strides=(2, 2), padding=1,
+                  dtype=jnp.float32).apply(p_fp, x)
+    q = Int8Conv(24, (3, 3), strides=(2, 2),
+                 dtype=jnp.float32).apply(p_fp, x)
+    assert q.shape == ref.shape == (2, 8, 8, 24)
+    rel = float(jnp.max(jnp.abs(q - ref)) / jnp.max(jnp.abs(ref)))
+    assert 0 < rel < 0.05, rel
+
+
+def test_quant_resample_knob(tiny_unet):
+    """quant_resample additionally quantizes the Downsample/Upsample
+    transition convs: same param tree, output differs from the
+    blocks-only int8 path, fp (quant=False) unaffected."""
+    unet, params = tiny_unet
+    fields = {f: getattr(unet, f) for f in (
+        "in_channel", "out_channel", "inner_channel", "norm_groups",
+        "channel_mults", "attn_res", "res_blocks", "dropout",
+        "image_size", "dtype")}
+    blocks_only = SR3UNet(quant_min_res=1, **fields)
+    with_rs = SR3UNet(quant_min_res=1, quant_resample=True, **fields)
+    # identical param trees: the same checkpoint loads into all variants
+    x = jnp.zeros((1, 16, 16, 6))
+    t = jnp.zeros((1, 1))
+    p_rs = with_rs.init(jax.random.PRNGKey(0), x, t)
+    assert jax.tree.structure(p_rs) == jax.tree.structure(params)
+
+    key = jax.random.PRNGKey(3)
+    xr = jax.random.normal(key, (2, 16, 16, 6), jnp.float32)
+    tr = jnp.full((2, 1), 0.7)
+    q_blocks = blocks_only.apply(params, xr, tr, quant=True)
+    q_rs = with_rs.apply(params, xr, tr, quant=True)
+    d = float(jnp.max(jnp.abs(q_rs - q_blocks)))
+    assert d > 0, "resample quant must engage"
+    fp = unet.apply(params, xr, tr)
+    rel = float(jnp.max(jnp.abs(q_rs - fp)) / jnp.max(jnp.abs(fp)))
+    assert rel < 0.25, rel
+    # quant=False stays exactly fp regardless of the knob
+    np.testing.assert_array_equal(
+        np.asarray(with_rs.apply(params, xr, tr)), np.asarray(fp))
+
+
 def test_val_step_uses_quant_when_knob_set():
     """make_val_step engages the quantized denoiser iff quant_min_res>0
     — outputs differ between an fp-knob and quant-knob JointModules with

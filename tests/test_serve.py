@@ -199,7 +199,8 @@ def test_serve_cli_int8_default(predictor_setup, tmp_path, monkeypatch):
             return len(names)
 
     def fake_from_config(c, **kw):
-        seen.append(int(c.sr.model.unet.quant_min_res))
+        seen.append((int(c.sr.model.unet.quant_min_res),
+                     bool(c.sr.model.unet.quant_resample)))
         return Stub()
 
     monkeypatch.setattr(serve_mod.Predictor, "from_config",
@@ -209,7 +210,8 @@ def test_serve_cli_int8_default(predictor_setup, tmp_path, monkeypatch):
     assert serve_mod.main(base) == 0                    # default
     assert serve_mod.main(base + ["--int8", "0"]) == 0  # forced fp
     assert serve_mod.main(base + ["--int8", "128"]) == 0
-    assert seen == [1, 0, 128]
+    assert serve_mod.main(base + ["--int8-resample"]) == 0
+    assert seen == [(1, False), (0, False), (128, False), (1, True)]
 
     cfg2 = cfg.clone()
     cfg2.sr.model.unet.quant_min_res = 64
@@ -219,7 +221,7 @@ def test_serve_cli_int8_default(predictor_setup, tmp_path, monkeypatch):
     assert serve_mod.main(["-c", str(cfg_file2), "-ckt", str(ckpt),
                            "--input", str(lr_dir),
                            "--out", str(tmp_path / "o2")]) == 0
-    assert seen == [64]
+    assert seen == [(64, False)]
 
 
 def test_bundle_names_dedup():

@@ -211,6 +211,14 @@ def run_config(name, args, results):
                          ddim_sample_loop(qden, sched, val_cond, k,
                                           num_steps=fast, eta=1.0,
                                           init="marginal"))
+            # depth 1 + the resample transition convs (quant_resample)
+            qunet_rs = unet.clone(quant_min_res=1, quant_resample=True)
+            qden_rs = lambda x, t: qunet_rs.apply(  # noqa: E731
+                params, x, t, quant=True)
+            evaluate(f"ddim-{fast}-eta1-marginal-int8@1+rs",
+                     ddim_sample_loop(qden_rs, sched, val_cond, k,
+                                      num_steps=fast, eta=1.0,
+                                      init="marginal"))
             # the int8 serving depth (1) at each extra step count, so a
             # lower-step serving point is qualified under the SAME w8a8
             # path that serves it

@@ -188,6 +188,10 @@ def run_e2e(args, results):
         results.append(bench_sampling(
             SR3UNet(quant_min_res=min_res, **common),
             f"int8(min_res={min_res})", args.runs, quant=True))
+    # + the Downsample/Upsample transition convs (dynamic a-scale)
+    results.append(bench_sampling(
+        SR3UNet(quant_min_res=1, quant_resample=True, **common),
+        "int8(min_res=1)+resample", args.runs, quant=True))
 
 
 def main(argv=None) -> int:
