@@ -13,19 +13,23 @@ with the reference.  Two configurations matter:
   the guaranteed-parity number stays in the driver-captured series
   (VERDICT r2 #2) and rounds remain comparable.
 * **Quality-parity fast sampler** (this benchmark): stochastic DDIM-25
-  with marginal initialization AND w8a8 int8 convs (quant_min_res=1) —
-  confirmed ON-CHIP by the round-3 multi-seed protocol (3 seeds, 256
-  train / 32 held-out disjoint identities, both reference config points;
-  PERF.md "multi-seed sampler quality protocol", records in
-  SAMPLER_STUDY_r3.json + SAMPLER_STUDY_r3_int8.json) to EXCEED the
-  ancestral loop's PSNR on EVERY seed (paired Δ ≥ +0.21 dB fp, ≥ +0.21 dB
-  int8@1, at the flagship 16→128 point) at 24× fewer UNet calls.  This is
+  with marginal initialization AND w8a8 int8 convs (quant_min_res=1 +
+  quant_resample) — confirmed ON-CHIP by the round-3 multi-seed protocol
+  (3 seeds, 256 train / 32 held-out disjoint identities, both reference
+  config points; PERF.md "multi-seed sampler quality protocol", records
+  in SAMPLER_STUDY_r3.json + SAMPLER_STUDY_r3_int8.json +
+  SAMPLER_STUDY_r3_extra.json) to EXCEED the ancestral loop's PSNR on
+  EVERY seed (paired Δ ≥ +0.21 dB fp, ≥ +0.19 dB int8@1+rs, at the
+  flagship 16→128 point) at 24× fewer UNet calls; step counts below 25
+  fail the paired rule on at least one seed (PERF.md "bracketing the
+  serving point"), so 25 is also the cheapest qualifying count.  This is
   the framework's actual serving configuration (`sampler: ddim,
   ddim_steps: 25, ddim_eta: 1.0, sampler_init: marginal`, serve.py's
-  default `--int8 1`; checkpoints stay fp — scales are re-derived at
-  trace time).  The fp-sampling variant of the same configuration is
-  reported as ``fp_value``/``fp_vs_baseline`` (the round-2 headline
-  identity), so all three round series remain comparable.
+  default `--int8 1` + `--int8-resample`; checkpoints stay fp — scales
+  are re-derived at trace time).  The fp-sampling variant of the same
+  configuration is reported as ``fp_value``/``fp_vs_baseline`` (the
+  round-2 headline identity), so all three round series remain
+  comparable.
 
 The model is the reference experiments' EFFECTIVE topology: their YAMLs
 set ``diffusion.image_size: 224`` over 128px data, which gates the UNet's
@@ -71,9 +75,10 @@ def main():
                   attn_res=(16,), res_blocks=2, dropout=0.0,
                   image_size=224, dtype=jnp.bfloat16)
     unet = SR3UNet(**common)
-    # serving default: w8a8 int8 at every ResnetBlock conv (PERF.md
-    # "int8 at the O=64 levels"; quality-neutral at every quant depth)
-    unet_i8 = SR3UNet(quant_min_res=1, **common)
+    # serving default: w8a8 int8 at every ResnetBlock conv + the
+    # Downsample/Upsample transition convs (PERF.md "int8 at the O=64
+    # levels"; quality-neutral at every quant depth incl. +rs)
+    unet_i8 = SR3UNet(quant_min_res=1, quant_resample=True, **common)
     sched = make_schedule("linear", N_TIMESTEP, 1e-6, 1e-2)
 
     key = jax.random.PRNGKey(0)

@@ -333,13 +333,22 @@ def main(argv=None) -> int:
                          "Default 1 (all ResnetBlock convs): same fp "
                          "checkpoint, confirmed quality-neutral at every "
                          "depth by the on-chip multi-seed protocol and "
-                         "+17%% throughput (PERF.md 'int8 at the O=64 "
-                         "levels'). Pass --int8 0 for exact-fp sampling.")
-    ap.add_argument("--int8-resample", action="store_true",
+                         "+21%% throughput together with the default "
+                         "transition-conv quant (PERF.md 'int8 at the "
+                         "O=64 levels'). Pass --int8 0 for exact-fp "
+                         "sampling.")
+    ap.add_argument("--int8-resample", action=argparse.BooleanOptionalAction,
+                    default=None,
                     help="additionally quantize the Downsample/Upsample "
                          "transition convs (sets "
                          "sr.model.unet.quant_resample; dynamic "
-                         "activation scale)")
+                         "activation scale).  Default ON at the serving "
+                         "depth --int8 1 — quality-neutral on every seed "
+                         "of the multi-seed protocol "
+                         "(SAMPLER_STUDY_r3_extra.json) and a further "
+                         "+2.6%% throughput (PERF.md); "
+                         "--no-int8-resample restores ResnetBlock-only "
+                         "quantization")
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--ema", action="store_true")
     ap.add_argument("--warmup-cache", default=None, metavar="DIR",
@@ -370,7 +379,13 @@ def main(argv=None) -> int:
         # +17% sampling throughput (PERF.md).  A config that sets its
         # own quant_min_res wins; --int8 0 forces exact-fp sampling.
         cfg.sr.model.unet.quant_min_res = 1
-    if args.int8_resample:
+    if args.int8_resample is not None:
+        cfg.sr.model.unet.quant_resample = bool(args.int8_resample)
+    elif int(cfg.sr.model.unet.quant_min_res or 0) == 1:
+        # at the measured serving depth (1) the transition convs ride
+        # along by default: quality-neutral on every seed and a further
+        # +2.6% throughput (PERF.md "int8 at the O=64 levels").  Other
+        # depths were not quality-qualified with +rs — opt in explicitly.
         cfg.sr.model.unet.quant_resample = True
 
     paths = get_paths_from_images(args.input)

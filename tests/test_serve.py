@@ -179,9 +179,10 @@ def test_serve_cli(predictor_setup, tmp_path):
 
 def test_serve_cli_int8_default(predictor_setup, tmp_path, monkeypatch):
     """The serving CLI defaults to the quality-confirmed int8 serving
-    point (quant_min_res=1, PERF.md 'int8 at the O=64 levels'); --int8 0
-    forces exact-fp; an explicit --int8 N and a config's own
-    quant_min_res both win over the default."""
+    point (quant_min_res=1 + quant_resample, PERF.md 'int8 at the O=64
+    levels'); --int8 0 forces exact-fp; an explicit --int8 N and a
+    config's own quant_min_res both win over the default; +rs defaults
+    on ONLY at the qualified depth 1, and --no-int8-resample opts out."""
     from PIL import Image
 
     import sr3d_tpu.serve as serve_mod
@@ -210,8 +211,10 @@ def test_serve_cli_int8_default(predictor_setup, tmp_path, monkeypatch):
     assert serve_mod.main(base) == 0                    # default
     assert serve_mod.main(base + ["--int8", "0"]) == 0  # forced fp
     assert serve_mod.main(base + ["--int8", "128"]) == 0
-    assert serve_mod.main(base + ["--int8-resample"]) == 0
-    assert seen == [(1, False), (0, False), (128, False), (1, True)]
+    assert serve_mod.main(base + ["--int8", "128", "--int8-resample"]) == 0
+    assert serve_mod.main(base + ["--no-int8-resample"]) == 0
+    assert seen == [(1, True), (0, False), (128, False), (128, True),
+                    (1, False)]
 
     cfg2 = cfg.clone()
     cfg2.sr.model.unet.quant_min_res = 64

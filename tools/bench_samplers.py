@@ -282,10 +282,13 @@ def decide_serving_point(results, agg):
     per-seed PSNR delta (fast − ancestral), not unpaired mean±std
     intervals (cross-seed training variance ~0.9 dB dwarfs the ~0.3 dB
     sampler effect and would drown it).  A fast sampler "matches
-    ancestral" when its delta is ≥ −0.1 dB on EVERY seed; the serving
-    point is the CHEAPEST qualifying sampler (fewest UNet evals) — serving
-    wants the lowest latency among the quality-equivalent options; when
-    nothing qualifies, fall back to the best mean delta."""
+    ancestral" when its per-seed ΔPSNR is ≥ −0.1 dB AND its per-seed
+    ΔSSIM is ≥ −0.005 on EVERY seed (parity must hold on both metrics —
+    very low step counts keep PSNR while visibly trading SSIM away, e.g.
+    ddim-8's −0.02 SSIM at flagship); the serving point is the CHEAPEST
+    qualifying sampler (fewest UNet evals) — serving wants the lowest
+    latency among the quality-equivalent options; when nothing qualifies,
+    fall back to the best mean ΔPSNR."""
     import numpy as np
 
     out = []
@@ -295,17 +298,23 @@ def decide_serving_point(results, agg):
                     and not a["sampler"].endswith("marginal")), None)
         if anc is None:
             continue
-        by_seed = {}
+        by_seed, by_seed_ssim = {}, {}
         for r in results:
             if r.get("config") == cfg and "seed" in r:
                 by_seed.setdefault(r["sampler"], {})[r["seed"]] = r["psnr"]
+                by_seed_ssim.setdefault(
+                    r["sampler"], {})[r["seed"]] = r["ssim"]
         anc_psnr = by_seed.get(anc["sampler"], {})
+        anc_ssim = by_seed_ssim.get(anc["sampler"], {})
         cands = []
         for a in rows:
             if not a["sampler"].startswith(("ddim", "dpm")):
                 continue
             deltas = [by_seed[a["sampler"]][s] - anc_psnr[s]
                       for s in anc_psnr if s in by_seed.get(a["sampler"], {})]
+            sdeltas = [by_seed_ssim[a["sampler"]][s] - anc_ssim[s]
+                       for s in anc_ssim
+                       if s in by_seed_ssim.get(a["sampler"], {})]
             if not deltas:
                 continue
             cands.append({
@@ -313,7 +322,9 @@ def decide_serving_point(results, agg):
                 "psnr_std": a["psnr_std"],
                 "delta_mean": round(float(np.mean(deltas)), 3),
                 "delta_min": round(float(np.min(deltas)), 3),
-                "matches_ancestral": bool(np.min(deltas) >= -0.1)})
+                "ssim_delta_min": round(float(np.min(sdeltas)), 4),
+                "matches_ancestral": bool(np.min(deltas) >= -0.1
+                                          and np.min(sdeltas) >= -0.005)})
         def n_steps(c):
             return int(c["sampler"].split("-")[1])
 
