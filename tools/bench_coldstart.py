@@ -108,11 +108,19 @@ def main(argv=None) -> int:
     recs = [run("no-cache", ""),
             run("cache-fill", str(cache)),
             run("cache-hit", str(cache))]
+    def total(r):
+        # what a user actually waits for: process start → first answer
+        # (the cache accelerates BOTH the init/build compiles and the
+        # serving-graph compile — build_s dominates the no-cache path)
+        return r["build_s"] + r["first_request_s"]
+
     summary = {
         "no_cache_first_request_s": recs[0]["first_request_s"],
         "cache_hit_first_request_s": recs[2]["first_request_s"],
-        "speedup": round(recs[0]["first_request_s"]
-                         / max(recs[2]["first_request_s"], 1e-9), 1),
+        "no_cache_total_s": round(total(recs[0]), 1),
+        "cache_hit_total_s": round(total(recs[2]), 1),
+        "speedup_total": round(total(recs[0])
+                               / max(total(recs[2]), 1e-9), 1),
         "cache_entries": len(list(cache.rglob("*"))),
     }
     print(json.dumps(summary), flush=True)
