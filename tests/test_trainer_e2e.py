@@ -6,8 +6,27 @@ CPU-runnable integration test, mirroring the reference's test_code.yml role).
 import json
 from pathlib import Path
 
+import jax
 import numpy as np
 import pytest
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _no_persistent_compile_cache():
+    """Skip persistent-compile-cache writes for this module.
+
+    The dp4*tp2 production trainer-step executable segfaults XLA's
+    ``LoadedExecutable.serialize()`` on the 8-virtual-device CPU backend
+    (hard crash inside ``compilation_cache.put_executable_and_time``, killing
+    the whole pytest process at ~93%).  Reproduced twice from a fresh
+    /tmp/jax_test_cache; everything compiled before this module serializes
+    fine, so the cache is disabled only here.  The module's compiles are
+    simply re-done each run.
+    """
+    prev = jax.config.jax_compilation_cache_dir
+    jax.config.update("jax_compilation_cache_dir", None)
+    yield
+    jax.config.update("jax_compilation_cache_dir", prev)
 
 
 @pytest.fixture(scope="module")
