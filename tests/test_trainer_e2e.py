@@ -22,11 +22,23 @@ def _no_persistent_compile_cache():
     /tmp/jax_test_cache; everything compiled before this module serializes
     fine, so the cache is disabled only here.  The module's compiles are
     simply re-done each run.
+
+    Setting the config alone is NOT enough: jax caches the initialized
+    CacheInterface (and the is_cache_used bit) in module globals, so once any
+    earlier test compiled anything, the dir change is ignored and the write
+    still happens (observed: the suite still crashed here with only the
+    config update).  reset_cache() drops that sticky state so the None dir
+    actually takes effect; a second reset on teardown lets later modules
+    reinitialize with the restored dir.
     """
+    from jax._src import compilation_cache as cc
+
     prev = jax.config.jax_compilation_cache_dir
     jax.config.update("jax_compilation_cache_dir", None)
+    cc.reset_cache()
     yield
     jax.config.update("jax_compilation_cache_dir", prev)
+    cc.reset_cache()
 
 
 @pytest.fixture(scope="module")
