@@ -124,7 +124,16 @@ def get_cfg_defaults() -> ConfigNode:
              # ancestral loop inside every train step); "ddim" = the
              # quality-confirmed η=1+marginal recipe at train_ddim_steps
              # UNet evals (~T/steps cheaper per joint step, PERF.md)
-             train_sampler="ddpm", train_ddim_steps=25)
+             train_sampler="ddpm", train_ddim_steps=25,
+             # train_handoff_int8: run the in-step hand-off sampling with
+             # the w8a8 int8 conv path (requires sr.model.unet.quant_min_res
+             # > 0 to pick the levels).  Valid only when the hand-off
+             # carries no gradient — model2's quantized hand-off or
+             # sever_sr_grad model3 (the int8 rounding has zero gradient and
+             # would silently sever flow-through model3; the step raises).
+             # Quality-neutral per the round-3 multi-seed int8 protocol
+             # (PERF.md); l_sr's p_losses term always stays fp.
+             train_handoff_int8=False)
     )
 
     sr.train = ConfigNode(

@@ -119,6 +119,15 @@ class JointModules:
                                            default="ddpm")
     train_ddim_steps: int = dataclasses.field(metadata=dict(static=True),
                                               default=25)
+    # Run the hand-off sampling through the w8a8 int8 conv path
+    # (ops/quant.py; levels picked by the unet's ``quant_min_res``).  Only
+    # valid when the hand-off carries no gradient — model2, or model3 with
+    # ``sever_sr_grad`` — because int8 rounding has zero gradient and would
+    # silently sever a flow-through model3 (the step raises instead).
+    # Quality-neutral per the round-3 multi-seed int8 protocol (PERF.md);
+    # the l_sr p_losses term always stays fp.
+    train_handoff_int8: bool = dataclasses.field(metadata=dict(static=True),
+                                                 default=False)
 
 
 class JointTrainState(NamedTuple):
@@ -199,6 +208,8 @@ def build_joint(cfg, flame: FlameModel | None = None,
                                                      "ddpm")),
         train_ddim_steps=int(cfg.sr.model.diffusion.get("train_ddim_steps",
                                                         25)),
+        train_handoff_int8=bool(
+            cfg.sr.model.diffusion.get("train_handoff_int8", False)),
     )
 
 
@@ -324,6 +335,27 @@ def gt_flame_vertices(modules: JointModules, shape_params):
 # train / val steps
 # --------------------------------------------------------------------------
 
+def _handoff_denoise_fn(modules: "JointModules", sr_params,
+                        differentiable: bool):
+    """Denoise fn for the in-step hand-off sampling: fp by default, the
+    w8a8 int8 serving path when ``train_handoff_int8`` is set (training-
+    throughput lever for the gradient-severed hand-off variants)."""
+    if not modules.train_handoff_int8:
+        return _sr_denoise_fn(modules, sr_params)
+    if differentiable:
+        raise ValueError(
+            "train_handoff_int8 requires a gradient-severed hand-off "
+            "(model2, or model3 with train.sever_sr_grad) — the w8a8 int8 "
+            "rounding has zero gradient and would silently sever "
+            "flow-through model3's l_mica→UNet path")
+    if getattr(modules.unet, "quant_min_res", 0) <= 0:
+        raise ValueError(
+            "train_handoff_int8 is set but sr.model.unet.quant_min_res is "
+            "0 — set quant_min_res (e.g. 1 = every ResnetBlock conv) to "
+            "choose which levels quantize")
+    return _sr_denoise_fn(modules, sr_params, quant=True)
+
+
 def _handoff_sample(modules: "JointModules", denoise, cond, rng,
                     differentiable: bool) -> jax.Array:
     """The in-step SR sample fed to the MICA branch (reference
@@ -389,8 +421,10 @@ def make_train_step(opt: optax.GradientTransformation,
 
         # SR sampling for the MICA branch (reference SR3_training →
         # super_resolution / super_resolution_learn, model/sr3d/model.py:351-366)
-        final = _handoff_sample(modules, denoise, cond, k_sample,
-                                differentiable)
+        final = _handoff_sample(
+            modules, _handoff_denoise_fn(modules, params["sr"],
+                                         differentiable),
+            cond, k_sample, differentiable)
         if modules.variant == "model3" and modules.sever_sr_grad:
             # reference-literal model3: continuous tensor blob, detached
             # (create_tensor_blob + .detach(), model/sr3d/model.py:483-490)
@@ -459,8 +493,10 @@ def make_eval_step():
         l_sr = p_losses_continuous(
             denoise, modules.sched_train, hr, cond, k_loss,
             loss_type=modules.loss_type) / hr.size
-        final = _handoff_sample(modules, denoise, cond, k_sample,
-                                differentiable=False)
+        final = _handoff_sample(
+            modules, _handoff_denoise_fn(modules, state.params["sr"],
+                                         differentiable=False),
+            cond, k_sample, differentiable=False)
         _, blob = sr_to_mica_inputs(
             final, image_size=modules.image_size,
             blob_size=modules.blob_size)

@@ -181,6 +181,48 @@ def test_train_sampler_ddim_handoff(variant, sever):
         assert gnorm == 0.0, "quantized/severed hand-off must stay severed"
 
 
+def test_train_handoff_int8():
+    """train_handoff_int8: the in-step hand-off samples through the w8a8
+    path while l_sr's p_losses term stays fp — with the same rng, l_sr must
+    be BIT-IDENTICAL to the fp-hand-off step and l_mica must differ (the
+    MICA branch saw an int8-sampled image).  Flow-through model3 must
+    raise (int8 rounding has zero gradient), as must a missing
+    quant_min_res."""
+    batch = batch_of()
+
+    def run(variant, sever=False, int8=False, qmr=0):
+        cfg = tiny_cfg(variant)
+        cfg.train.sever_sr_grad = sever
+        cfg.sr.model.diffusion.train_sampler = "ddim"
+        cfg.sr.model.diffusion.train_ddim_steps = 4
+        cfg.sr.model.diffusion.train_handoff_int8 = int8
+        cfg.sr.model.unet.quant_min_res = qmr
+        modules = build_joint(cfg)
+        opt = make_optimizer(cfg)
+        state = init_train_state(modules, cfg, jax.random.PRNGKey(0), 16)
+        step = jax.jit(make_train_step(opt))
+        _, metrics = step(modules, state, batch, jax.random.PRNGKey(1))
+        return metrics
+
+    m_fp = run("model2")
+    m_i8 = run("model2", int8=True, qmr=1)
+    assert np.isfinite(float(m_i8["loss"]))
+    # l_sr path is fp in both steps and consumes the same rng split
+    assert float(m_fp["l_sr"]) == float(m_i8["l_sr"])
+    # the hand-off image actually changed (int8 sampling fed MICA)
+    assert float(m_fp["l_mica"]) != float(m_i8["l_mica"])
+
+    # severed model3 is also a legal int8-hand-off variant
+    m3 = run("model3", sever=True, int8=True, qmr=1)
+    assert np.isfinite(float(m3["loss"]))
+
+    # flow-through model3 must raise, as must quant_min_res unset
+    with pytest.raises(ValueError, match="gradient-severed"):
+        run("model3", int8=True, qmr=1)
+    with pytest.raises(ValueError, match="quant_min_res"):
+        run("model2", int8=True, qmr=0)
+
+
 def test_use_mask_flag_controls_vertex_weights():
     """Reference default (use_mask=False) → PLAIN mean|diff|×1000; region
     weights apply only when cfg.mica.train.use_mask is set

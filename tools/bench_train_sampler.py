@@ -33,6 +33,11 @@ def main(argv=None) -> int:
     ap.add_argument("--steps", type=int, default=8)
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--int8-handoff", action="store_true",
+                    help="add model2 rows with train_handoff_int8 (w8a8 "
+                         "hand-off sampling at quant_min_res=1 + "
+                         "quant_resample — the serving recipe; legal for "
+                         "the gradient-severed hand-off, PERF.md)")
     args = ap.parse_args(argv)
 
     import jax
@@ -51,15 +56,25 @@ def main(argv=None) -> int:
         make_train_step,
     )
 
+    cases = [(v, False, s, n, False)
+             for v in ("model2", "model3") for s, n in (("ddpm", 0),
+                                                        ("ddim", 25))]
+    if args.int8_handoff:
+        cases += [("model2", False, s, n, True)
+                  for s, n in (("ddpm", 0), ("ddim", 25))]
+
     results = []
-    for variant, sever in (("model2", False), ("model3", False)):
-        for sampler, n_fast in (("ddpm", 0), ("ddim", 25)):
+    for variant, sever, sampler, n_fast, int8 in cases:
             cfg = update_cfg(
                 get_cfg_defaults(),
                 str(REPO / f"configs/sr_sr3_VGGF2_16_128_{variant}.yml"))
             cfg.train.sever_sr_grad = sever
             cfg.sr.model.diffusion.train_sampler = sampler
             cfg.sr.model.diffusion.train_ddim_steps = max(n_fast, 4)
+            if int8:
+                cfg.sr.model.diffusion.train_handoff_int8 = True
+                cfg.sr.model.unet.quant_min_res = 1
+                cfg.sr.model.unet.quant_resample = True
             if args.cpu:
                 for ph in ("train", "val"):
                     cfg.sr.model.beta_schedule[ph].n_timestep = 8
@@ -104,6 +119,7 @@ def main(argv=None) -> int:
                    "train_sampler": (f"ddim-{cfg.sr.model.diffusion.train_ddim_steps}"
                                      if sampler == "ddim" else
                                      f"ddpm-{cfg.sr.model.beta_schedule.train.n_timestep}"),
+                   "handoff_int8": int8,
                    "batch": args.batch,
                    "compile_s": round(compile_s, 1),
                    "sec_per_step": round(per_step, 3),
@@ -111,15 +127,24 @@ def main(argv=None) -> int:
             results.append(rec)
             print(json.dumps(rec), flush=True)
 
-    by = {(r["variant"], r["train_sampler"].split("-")[0]): r
-          for r in results}
+    by = {(r["variant"], r["train_sampler"].split("-")[0],
+           r["handoff_int8"]): r for r in results}
     for v in ("model2", "model3"):
-        if (v, "ddpm") in by and (v, "ddim") in by:
+        if (v, "ddpm", False) in by and (v, "ddim", False) in by:
             print(json.dumps({
                 "summary": v,
-                "speedup": round(by[(v, "ddpm")]["sec_per_step"]
-                                 / max(by[(v, "ddim")]["sec_per_step"], 1e-9),
-                                 2)}), flush=True)
+                "speedup": round(
+                    by[(v, "ddpm", False)]["sec_per_step"]
+                    / max(by[(v, "ddim", False)]["sec_per_step"], 1e-9),
+                    2)}), flush=True)
+        for s in ("ddpm", "ddim"):
+            if (v, s, False) in by and (v, s, True) in by:
+                print(json.dumps({
+                    "summary": f"{v}/{s} int8 hand-off",
+                    "speedup_vs_fp": round(
+                        by[(v, s, False)]["sec_per_step"]
+                        / max(by[(v, s, True)]["sec_per_step"], 1e-9),
+                        2)}), flush=True)
     return 0
 
 
