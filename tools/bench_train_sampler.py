@@ -33,6 +33,9 @@ def main(argv=None) -> int:
     ap.add_argument("--steps", type=int, default=8)
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--variants", default="model2,model3",
+                    help="comma list of joint variants to measure "
+                         "(skip rows already recorded in PERF.md)")
     ap.add_argument("--int8-handoff", action="store_true",
                     help="add model2 rows with train_handoff_int8 (w8a8 "
                          "hand-off sampling at quant_min_res=1 + "
@@ -56,10 +59,10 @@ def main(argv=None) -> int:
         make_train_step,
     )
 
+    variants = tuple(v.strip() for v in args.variants.split(",") if v.strip())
     cases = [(v, False, s, n, False)
-             for v in ("model2", "model3") for s, n in (("ddpm", 0),
-                                                        ("ddim", 25))]
-    if args.int8_handoff:
+             for v in variants for s, n in (("ddpm", 0), ("ddim", 25))]
+    if args.int8_handoff and "model2" in variants:
         cases += [("model2", False, s, n, True)
                   for s, n in (("ddpm", 0), ("ddim", 25))]
 
