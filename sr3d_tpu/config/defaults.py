@@ -186,6 +186,11 @@ def get_cfg_defaults() -> ConfigNode:
             arcface_pretrained_model=None,
             arcface_layers=[3, 13, 30, 3],  # iresnet100
             n_pose=6,
+            # asset-free fallback when flame_model_path is absent:
+            # "random" = synthetic_flame (structure-only miniature),
+            # "sphere" = sphere_flame (smooth, renderable — the
+            # identity-correlated synthetic-data experiments use this)
+            synthetic_flame_kind="random",
         )
     )
 

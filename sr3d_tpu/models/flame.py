@@ -170,6 +170,113 @@ def synthetic_flame(
     )
 
 
+def sphere_flame(
+    n_rings: int = 16,
+    n_segments: int = 24,
+    n_shape: int = 16,
+    n_exp: int = 8,
+    seed: int = 0,
+    radius: float = 0.15,
+    amp: float = 0.012,
+) -> FlameModel:
+    """Renderable synthetic FLAME: a smooth UV-sphere head whose shape space
+    is a bank of low-frequency radial deformation fields with decaying
+    amplitudes.
+
+    ``synthetic_flame`` (above) draws random triangles over random points —
+    structurally complete but visually meaningless, so images rendered from
+    it carry almost no usable identity signal.  This variant exists for the
+    identity-correlated synthetic datasets
+    (data/synthetic.py::generate_correlated_joint_root): rendering
+    ``flame_forward(β)`` produces images whose silhouette/shading visibly
+    depend on β, making the identity→shape task of the joint model
+    (reference model/sr3d/model.py:441-533) actually *learnable* without the
+    licensed FLAME2020 assets.
+
+    Design notes:
+    * shape dir k displaces along the outward radial direction with a
+      smooth spatial profile ``cos(w_k·p/r + φ_k)`` (|w_k| ∈ [1,4]: one to
+      four waves across the head) and amplitude ``amp/(1+0.15k)`` — the
+      leading components dominate both the rendered appearance AND the
+      vertex-L1 loss, so what the loss rewards is what the image shows;
+    * LBS weights put all mass on the root joint → zero pose is exactly
+      rigid (the MICA decode is shape-only, train/joint.py::decode_mica);
+    * landmark tables are valid (real faces + barycentrics) for the
+      export/vis paths.
+    """
+    rng = np.random.RandomState(seed)
+    J = 5
+
+    # UV sphere: n_rings latitude bands (poles excluded) × n_segments
+    ring_t = (np.arange(1, n_rings) / n_rings) * np.pi        # polar angle
+    seg_p = (np.arange(n_segments) / n_segments) * 2 * np.pi  # azimuth
+    tt, pp = np.meshgrid(ring_t, seg_p, indexing="ij")        # [R-1,S]
+    xyz = np.stack([np.sin(tt) * np.cos(pp),
+                    np.cos(tt),                               # y = up axis
+                    np.sin(tt) * np.sin(pp)], axis=-1).reshape(-1, 3)
+    top = np.array([[0.0, 1.0, 0.0]])
+    bot = np.array([[0.0, -1.0, 0.0]])
+    unit = np.concatenate([top, xyz, bot], 0).astype(np.float32)  # [V,3]
+    V = unit.shape[0]
+
+    def vid(r, s):  # ring r ∈ [0, n_rings-2], segment s (wraps)
+        return 1 + r * n_segments + (s % n_segments)
+
+    faces = []
+    for s in range(n_segments):              # top cap (CCW from outside)
+        faces.append((0, vid(0, s), vid(0, s + 1)))
+    for r in range(n_rings - 2):             # quad bands
+        for s in range(n_segments):
+            a, b = vid(r, s), vid(r, s + 1)
+            c, d = vid(r + 1, s), vid(r + 1, s + 1)
+            faces.append((a, c, b))
+            faces.append((b, c, d))
+    for s in range(n_segments):              # bottom cap
+        faces.append((V - 1, vid(n_rings - 2, s + 1), vid(n_rings - 2, s)))
+    faces = np.asarray(faces, np.int32)
+    F = faces.shape[0]
+
+    # smooth radial shape dirs, leading components largest
+    K = n_shape + n_exp
+    w = rng.uniform(1.0, 4.0, (K, 3)) * rng.choice([-1, 1], (K, 3))
+    phi = rng.uniform(0, 2 * np.pi, K)
+    prof = np.cos(unit @ w.T + phi)                        # [V,K]
+    amps = amp / (1.0 + 0.15 * np.arange(K))
+    shapedirs = (unit[:, :, None] * (prof * amps)[:, None, :]
+                 ).astype(np.float32)                      # [V,3,K]
+
+    parents = np.array([-1, 0, 1, 1, 1], dtype=np.int32)
+    lbs_w = np.zeros((V, J), np.float32)
+    lbs_w[:, 0] = 1.0                                      # rigid at zero pose
+    jreg = np.full((J, V), 1.0 / V, np.float32)
+
+    def bary(*shape):
+        b = rng.rand(*shape, 3).astype(np.float32)
+        return b / b.sum(-1, keepdims=True)
+
+    return FlameModel(
+        faces=jnp.asarray(faces),
+        v_template=jnp.asarray(unit * radius),
+        shapedirs=jnp.asarray(shapedirs),
+        posedirs=jnp.asarray(np.zeros(((J - 1) * 9, V * 3), np.float32)),
+        J_regressor=jnp.asarray(jreg),
+        parents=jnp.asarray(parents),
+        lbs_weights=jnp.asarray(lbs_w),
+        lmk_faces_idx=jnp.asarray(
+            rng.randint(0, F, size=(51,)).astype(np.int32)),
+        lmk_bary_coords=jnp.asarray(bary(51)),
+        dynamic_lmk_faces_idx=jnp.asarray(
+            rng.randint(0, F, size=(79, 17)).astype(np.int32)),
+        dynamic_lmk_bary_coords=jnp.asarray(bary(79, 17)),
+        full_lmk_faces_idx=jnp.asarray(
+            rng.randint(0, F, size=(68,)).astype(np.int32)),
+        full_lmk_bary_coords=jnp.asarray(bary(68)),
+        neck_kin_chain=jnp.asarray(_neck_kin_chain(parents)),
+        n_shape=n_shape,
+        n_exp=n_exp,
+    )
+
+
 def write_reference_format_assets(
     out_dir: str,
     n_vertices: int = 64,

@@ -29,10 +29,37 @@ import numpy as np
 
 from .train.joint import (
     JointModules,
+    abstract_train_state,
     build_joint,
-    init_train_state,
     make_val_step,
 )
+
+
+def _materialize_mica_init(modules: JointModules, rng: jax.Array):
+    """Random-init ArcFace variables + mapping params (the converted-UNet
+    serving case — such checkpoints carry no MICA weights).  Runs on the
+    LOCAL cpu backend when present: these are tiny initializer programs,
+    and compiling them remotely was part of the cold-start cost the
+    abstract-skeleton path removes.  Returns numpy leaves (uncommitted) so
+    the caller's ``device_put`` places them wherever serving runs."""
+    def init_fn(key):
+        ka, km = jax.random.split(key)
+        af_vars = modules.arcface.init(
+            ka, jnp.zeros((1, modules.blob_size, modules.blob_size, 3)))
+        map_params = modules.mapping.init(
+            km, jnp.zeros((1, modules.mapping.z_dim)))
+        return af_vars, map_params
+
+    try:
+        cpu = jax.local_devices(backend="cpu")[0]
+    except RuntimeError:
+        cpu = None
+    if cpu is not None:
+        with jax.default_device(cpu):
+            out = jax.jit(init_fn)(jax.device_put(rng, cpu))
+    else:  # pragma: no cover — every runtime here has a cpu backend
+        out = jax.jit(init_fn)(rng)
+    return jax.tree.map(np.asarray, out)
 
 
 class Predictor:
@@ -59,9 +86,15 @@ class Predictor:
         # (it only gates the UNet's attention topology, unet.py:192)
         self.hr = int(cfg.sr.datasets.val.r_resolution)
         self.lr = int(cfg.sr.datasets.val.l_resolution)
+        # serving never steps an optimizer; don't hold (or upload) moments.
+        # Without use_ema the EMA mirror is dead weight too.
+        state = state._replace(opt_state=None,
+                               ema=state.ema if use_ema else None)
         step_fn = make_val_step(use_ema=use_ema)
         if mesh is None:
-            self.modules, self.state = modules, state
+            # commit host (numpy) leaves once — np arrays passed to a jit
+            # re-transfer on EVERY call through this tunneled runtime
+            self.modules, self.state = modules, jax.device_put(state)
             self._step = jax.jit(step_fn)
         else:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -95,7 +128,14 @@ class Predictor:
         """Build modules from the config and load a checkpoint: a named
         ``.npz`` (best_model / save_state_npz format), a converted
         reference UNet ``.npz``, or the latest orbax step in
-        ``{output_dir}/{name}/{path.checkpoint}``."""
+        ``{output_dir}/{name}/{path.checkpoint}``.
+
+        Trainer-less init: the load target is an ``eval_shape`` skeleton
+        (train/joint.py::abstract_train_state), so no parameter
+        initializer is ever jit-compiled and no optimizer/EMA arrays are
+        materialized — the serving process pays only module construction
+        + checkpoint IO + the serving graph's own compile (the old
+        ``init_train_state`` path dominated cold start, PERF.md)."""
         from .train.checkpoint import (
             CheckpointManager,
             load_leaves_into,
@@ -103,26 +143,32 @@ class Predictor:
         )
 
         modules = build_joint(cfg)
-        state = init_train_state(
-            modules, cfg, jax.random.PRNGKey(int(cfg.seed)),
-            int(cfg.sr.datasets.val.r_resolution))
+        state = abstract_train_state(
+            modules, cfg, int(cfg.sr.datasets.val.r_resolution))
         if checkpoint and str(checkpoint).endswith(".npz"):
             try:
                 state = load_state_npz(checkpoint, state,
                                        {"global_step": 0, "epoch": 0}
                                        )["state"]
             except (ValueError, KeyError):
-                # converted reference UNet: SR branch only
+                # converted reference UNet: SR branch only.  The MICA
+                # branch has no weights in such a file — materialize its
+                # random init on the LOCAL cpu backend (tiny compiles, no
+                # remote round trip) exactly as init_train_state would.
                 params = dict(state.params)
                 params["sr"] = load_leaves_into(checkpoint,
                                                 state.params["sr"])
-                ema = state.ema
-                if ema is not None:
-                    # re-seed the EMA mirror from the loaded weights so
-                    # use_ema never serves the random-init copy
-                    from .diffusion.ema import ema_init
-                    ema = ema_init(params["sr"])._replace(step=ema.step)
-                state = state._replace(params=params, ema=ema)
+                af_vars, map_params = _materialize_mica_init(
+                    modules, jax.random.PRNGKey(int(cfg.seed)))
+                params["arcface"] = af_vars["params"]
+                params["mapping"] = map_params
+                # use_ema over a converted file would serve the loaded
+                # weights either way (the mirror re-seeds from them), so
+                # the EMA slot stays empty and val falls back to params
+                state = state._replace(
+                    params=params, ema=None,
+                    arcface_stats=af_vars.get("batch_stats", {}),
+                    step=jnp.zeros((), jnp.int32))
         elif checkpoint is None:
             ckpt_dir = (Path(cfg.output_dir) / (cfg.get("name") or "default")
                         / cfg.path.checkpoint)

@@ -160,8 +160,13 @@ def build_joint(cfg, flame: FlameModel | None = None,
                                fm_cfg.flame_lmk_embedding_path,
                                n_shape=fm_cfg.n_shape)
         except (FileNotFoundError, OSError):
-            flame = synthetic_flame(n_shape=fm_cfg.n_shape,
-                                    n_exp=fm_cfg.n_exp)
+            if str(fm_cfg.get("synthetic_flame_kind", "random")) == "sphere":
+                from ..models.flame import sphere_flame
+                flame = sphere_flame(n_shape=fm_cfg.n_shape,
+                                     n_exp=fm_cfg.n_exp)
+            else:
+                flame = synthetic_flame(n_shape=fm_cfg.n_shape,
+                                        n_exp=fm_cfg.n_exp)
     if masks is None:
         try:
             masks = masking_ops.load_masks(cfg.mica.model.masks_path)
@@ -285,6 +290,26 @@ def init_train_state(modules: JointModules, cfg, rng: jax.Array,
         opt_state=opt.init(params),
         ema=ema,
     )
+
+
+def abstract_train_state(modules: JointModules, cfg,
+                         hr_res: int) -> JointTrainState:
+    """Shape/dtype skeleton of :func:`init_train_state` — every leaf a
+    ``jax.ShapeDtypeStruct``, produced by ``eval_shape`` (a pure trace: no
+    initializer compiles, no device arrays, milliseconds).
+
+    This is the trainer-less serving init (VERDICT r3 #3): checkpoint
+    loaders only need the target's *structure and shapes*
+    (train/checkpoint.py::load_state_npz validates leaf count + shapes;
+    orbax's StandardRestore converts the target to shape/dtype structs
+    anyway), so a serving process never has to jit-compile parameter
+    initializers or materialize optimizer/EMA state it will discard —
+    which was the dominant cost of a fresh serving process (PERF.md
+    "serving cold start": 439 s of the 529 s no-cache total was this
+    build path)."""
+    return jax.eval_shape(
+        lambda rng: init_train_state(modules, cfg, rng, hr_res),
+        jax.random.PRNGKey(0))
 
 
 # --------------------------------------------------------------------------

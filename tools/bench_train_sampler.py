@@ -62,91 +62,106 @@ def main(argv=None) -> int:
     variants = tuple(v.strip() for v in args.variants.split(",") if v.strip())
     cases = [(v, False, s, n, False)
              for v in variants for s, n in (("ddpm", 0), ("ddim", 25))]
-    if args.int8_handoff and "model2" in variants:
-        cases += [("model2", False, s, n, True)
-                  for s, n in (("ddpm", 0), ("ddim", 25))]
+    if args.int8_handoff:
+        int8_cases = []
+        if "model2" in variants:
+            int8_cases += [("model2", False, s, n, True)
+                           for s, n in (("ddpm", 0), ("ddim", 25))]
+        if "model3" in variants:
+            # the other legal int8 hand-off: reference-literal severed
+            # model3 (cfg.train.sever_sr_grad — the int8 rounding carries
+            # no gradient, so only gradient-severed hand-offs may use it)
+            int8_cases += [("model3", True, s, n, True)
+                           for s, n in (("ddpm", 0), ("ddim", 25))]
+        if not int8_cases:
+            print("warning: --int8-handoff yields no cases for "
+                  f"--variants {args.variants!r} (int8 hand-off rows exist "
+                  "for model2 and severed model3 only)", file=sys.stderr)
+        cases += int8_cases
 
     results = []
     for variant, sever, sampler, n_fast, int8 in cases:
-            cfg = update_cfg(
-                get_cfg_defaults(),
-                str(REPO / f"configs/sr_sr3_VGGF2_16_128_{variant}.yml"))
-            cfg.train.sever_sr_grad = sever
-            cfg.sr.model.diffusion.train_sampler = sampler
-            cfg.sr.model.diffusion.train_ddim_steps = max(n_fast, 4)
-            if int8:
-                cfg.sr.model.diffusion.train_handoff_int8 = True
-                cfg.sr.model.unet.quant_min_res = 1
-                cfg.sr.model.unet.quant_resample = True
-            if args.cpu:
-                for ph in ("train", "val"):
-                    cfg.sr.model.beta_schedule[ph].n_timestep = 8
-                cfg.sr.model.unet.inner_channel = 16
-                cfg.sr.model.unet.norm_groups = 8
-                cfg.sr.model.unet.channel_multiplier = [1, 2]
-                cfg.sr.model.unet.res_blocks = 1
-                cfg.mica.model.n_shape = 16
-                cfg.mica.model.map_hidden_dim = 32
-                cfg.mica.model.arcface_layers = [1, 1, 1, 1]
-                cfg.tpu.synthetic_flame = True
-                cfg.sr.model.diffusion.train_ddim_steps = 4
-            hr = (16 if args.cpu
-                  else int(cfg.sr.datasets.train.r_resolution))
-            modules = build_joint(cfg)
-            opt = make_optimizer(cfg)
-            state = init_train_state(modules, cfg, jax.random.PRNGKey(0), hr)
-            step_fn = jax.jit(make_train_step(opt), donate_argnums=(1,))
+        cfg = update_cfg(
+            get_cfg_defaults(),
+            str(REPO / f"configs/sr_sr3_VGGF2_16_128_{variant}.yml"))
+        cfg.train.sever_sr_grad = sever
+        cfg.sr.model.diffusion.train_sampler = sampler
+        cfg.sr.model.diffusion.train_ddim_steps = max(n_fast, 4)
+        if int8:
+            cfg.sr.model.diffusion.train_handoff_int8 = True
+            cfg.sr.model.unet.quant_min_res = 1
+            cfg.sr.model.unet.quant_resample = True
+        if args.cpu:
+            for ph in ("train", "val"):
+                cfg.sr.model.beta_schedule[ph].n_timestep = 8
+            cfg.sr.model.unet.inner_channel = 16
+            cfg.sr.model.unet.norm_groups = 8
+            cfg.sr.model.unet.channel_multiplier = [1, 2]
+            cfg.sr.model.unet.res_blocks = 1
+            cfg.mica.model.n_shape = 16
+            cfg.mica.model.map_hidden_dim = 32
+            cfg.mica.model.arcface_layers = [1, 1, 1, 1]
+            cfg.tpu.synthetic_flame = True
+            cfg.sr.model.diffusion.train_ddim_steps = 4
+        hr = (16 if args.cpu
+              else int(cfg.sr.datasets.train.r_resolution))
+        modules = build_joint(cfg)
+        opt = make_optimizer(cfg)
+        state = init_train_state(modules, cfg, jax.random.PRNGKey(0), hr)
+        step_fn = jax.jit(make_train_step(opt), donate_argnums=(1,))
 
-            r = np.random.RandomState(0)
-            batch = {
-                "HR": jnp.asarray(r.uniform(-1, 1, (args.batch, hr, hr, 3)),
-                                  jnp.float32),
-                "SR": jnp.asarray(r.uniform(-1, 1, (args.batch, hr, hr, 3)),
-                                  jnp.float32),
-                "flame_shape": jnp.asarray(
-                    r.randn(args.batch, int(cfg.mica.model.n_shape)) * 0.3,
-                    jnp.float32),
-            }
+        r = np.random.RandomState(0)
+        batch = {
+            "HR": jnp.asarray(r.uniform(-1, 1, (args.batch, hr, hr, 3)),
+                              jnp.float32),
+            "SR": jnp.asarray(r.uniform(-1, 1, (args.batch, hr, hr, 3)),
+                              jnp.float32),
+            "flame_shape": jnp.asarray(
+                r.randn(args.batch, int(cfg.mica.model.n_shape)) * 0.3,
+                jnp.float32),
+        }
 
-            t0 = time.time()
-            state, m = step_fn(modules, state, batch, jax.random.PRNGKey(1))
-            jax.device_get(m["loss"])  # barrier (compile + first step)
-            compile_s = time.time() - t0
-            t0 = time.time()
-            for i in range(args.steps):
-                state, m = step_fn(modules, state, batch,
-                                   jax.random.PRNGKey(2 + i))
-                jax.device_get(m["loss"])  # per-step barrier (CLAUDE.md)
-            per_step = (time.time() - t0) / args.steps
-            rec = {"variant": variant,
-                   "train_sampler": (f"ddim-{cfg.sr.model.diffusion.train_ddim_steps}"
-                                     if sampler == "ddim" else
-                                     f"ddpm-{cfg.sr.model.beta_schedule.train.n_timestep}"),
-                   "handoff_int8": int8,
-                   "batch": args.batch,
-                   "compile_s": round(compile_s, 1),
-                   "sec_per_step": round(per_step, 3),
-                   "loss_finite": bool(np.isfinite(float(m["loss"])))}
-            results.append(rec)
-            print(json.dumps(rec), flush=True)
+        t0 = time.time()
+        state, m = step_fn(modules, state, batch, jax.random.PRNGKey(1))
+        jax.device_get(m["loss"])  # barrier (compile + first step)
+        compile_s = time.time() - t0
+        t0 = time.time()
+        for i in range(args.steps):
+            state, m = step_fn(modules, state, batch,
+                               jax.random.PRNGKey(2 + i))
+            jax.device_get(m["loss"])  # per-step barrier (CLAUDE.md)
+        per_step = (time.time() - t0) / args.steps
+        rec = {"variant": variant,
+               "sever_sr_grad": sever,
+               "train_sampler": (f"ddim-{cfg.sr.model.diffusion.train_ddim_steps}"
+                                 if sampler == "ddim" else
+                                 f"ddpm-{cfg.sr.model.beta_schedule.train.n_timestep}"),
+               "handoff_int8": int8,
+               "batch": args.batch,
+               "compile_s": round(compile_s, 1),
+               "sec_per_step": round(per_step, 3),
+               "loss_finite": bool(np.isfinite(float(m["loss"])))}
+        results.append(rec)
+        print(json.dumps(rec), flush=True)
 
-    by = {(r["variant"], r["train_sampler"].split("-")[0],
+    by = {(r["variant"], r["sever_sr_grad"], r["train_sampler"].split("-")[0],
            r["handoff_int8"]): r for r in results}
-    for v in ("model2", "model3"):
-        if (v, "ddpm", False) in by and (v, "ddim", False) in by:
+    for v, sv in (("model2", False), ("model3", False), ("model3", True)):
+        label = f"{v}{'+sever' if sv else ''}"
+        if (v, sv, "ddpm", False) in by and (v, sv, "ddim", False) in by:
             print(json.dumps({
-                "summary": v,
+                "summary": label,
                 "speedup": round(
-                    by[(v, "ddpm", False)]["sec_per_step"]
-                    / max(by[(v, "ddim", False)]["sec_per_step"], 1e-9),
+                    by[(v, sv, "ddpm", False)]["sec_per_step"]
+                    / max(by[(v, sv, "ddim", False)]["sec_per_step"], 1e-9),
                     2)}), flush=True)
         for s in ("ddpm", "ddim"):
-            if (v, s, False) in by and (v, s, True) in by:
+            if (v, sv, s, False) in by and (v, sv, s, True) in by:
                 print(json.dumps({
-                    "summary": f"{v}/{s} int8 hand-off",
+                    "summary": f"{label}/{s} int8 hand-off",
                     "speedup_vs_fp": round(
-                        by[(v, s, False)]["sec_per_step"]
-                        / max(by[(v, s, True)]["sec_per_step"], 1e-9),
+                        by[(v, sv, s, False)]["sec_per_step"]
+                        / max(by[(v, sv, s, True)]["sec_per_step"], 1e-9),
                         2)}), flush=True)
     return 0
 

@@ -1,0 +1,286 @@
+"""Identity-correlated generalization demo + hand-off ablation
+(VERDICT r3 #1 and #2).
+
+Every prior convergence run drew actor FLAME shapes independently of their
+images, so the joint model's identity→shape mapping was unlearnable by
+construction and val ``l_mica`` stayed flat.  This tool runs the production
+``Trainer.fit`` on data where each actor's images are RENDERED FROM their
+FLAME shape (``data/synthetic.py::generate_correlated_joint_root`` over
+``models/flame.py::sphere_flame``), so the scientific core of the reference
+— SR quality feeding 3D reconstruction, model/sr3d/model.py:441-533 — can
+be *demonstrated*: val ``l_mica`` on held-out actors decreasing.
+
+Arms (paired per seed: same init, same 80/20 actor split, same batches):
+
+* ``m2_ddpm``   — model2, reference-semantics ancestral hand-off
+                  (model/sr3d/model.py:351-366) — the A/B anchor;
+* ``m2_ddim``   — model2, the fast ddim-25 hand-off (``train_sampler``
+                  knob) — the 13.5× cheaper step whose convergence
+                  equivalence this A/B measures;
+* ``m2_ddim_int8`` — + ``train_handoff_int8`` (w8a8 hand-off sampling);
+* ``m3_ddim``   — model3 flow-through (∂l_mica/∂θ_sr via differentiable
+                  sampling) — the *intended* reference semantics;
+* ``m3sever_ddim`` — model3 with ``train.sever_sr_grad`` (the reference's
+                  literal ``.detach()``, model/sr3d/model.py:483-490) —
+                  ablates whether the flow-through gradient helps;
+* ``m3_ddpm`` / ``m3sever_ddim_int8`` — optional extras.
+
+TPU:  python tools/train_ablation.py --steps 1000 --eval-every 125 \
+          --arms m2_ddpm,m2_ddim,m3_ddim,m3sever_ddim --seeds 0,1
+CPU smoke:  python tools/train_ablation.py --cpu --steps 6 --eval-every 3 \
+          --arms m2_ddim --seeds 0 --actors 6 --imgs 2 --val-faces 2
+
+Results accumulate in {workdir}/results.json (finished (arm, seed) runs are
+skipped on re-invocation — tunnel-outage-friendly); ``--report`` re-prints
+the analysis without training.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+ARMS = {
+    "m2_ddpm": dict(cfgfile="model2", sever=False, sampler="ddpm",
+                    int8=False),
+    "m2_ddim": dict(cfgfile="model2", sever=False, sampler="ddim",
+                    int8=False),
+    "m2_ddim_int8": dict(cfgfile="model2", sever=False, sampler="ddim",
+                         int8=True),
+    "m3_ddpm": dict(cfgfile="model3", sever=False, sampler="ddpm",
+                    int8=False),
+    "m3_ddim": dict(cfgfile="model3", sever=False, sampler="ddim",
+                    int8=False),
+    "m3sever_ddim": dict(cfgfile="model3", sever=True, sampler="ddim",
+                         int8=False),
+    "m3sever_ddim_int8": dict(cfgfile="model3", sever=True, sampler="ddim",
+                              int8=True),
+}
+
+
+def build_cfg(arm: str, seed: int, args):
+    from sr3d_tpu.config.defaults import get_cfg_defaults, update_cfg
+
+    spec = ARMS[arm]
+    cfg = update_cfg(
+        get_cfg_defaults(),
+        str(REPO / f"configs/sr_sr3_VGGF2_16_128_{spec['cfgfile']}.yml"))
+    cfg.seed = seed
+    cfg.name = f"{arm}_s{seed}"
+    cfg.train.sever_sr_grad = bool(spec["sever"])
+    cfg.mica.model.synthetic_flame_kind = "sphere"
+    if args.cpu:
+        for ds in ("train", "val"):
+            cfg.sr.datasets[ds].l_resolution = 8
+            cfg.sr.datasets[ds].r_resolution = 16
+        for ph in ("train", "val"):
+            cfg.sr.model.beta_schedule[ph].n_timestep = 8
+        cfg.sr.model.unet.inner_channel = 32
+        cfg.sr.model.unet.norm_groups = 8
+        cfg.sr.model.unet.channel_multiplier = [1, 2]
+        cfg.sr.model.unet.res_blocks = 1
+        cfg.mica.model.n_shape = 16
+        cfg.mica.model.n_exp = 8
+        cfg.mica.model.map_hidden_dim = 32
+        cfg.mica.model.mapping_layers = 1
+        cfg.mica.model.arcface_layers = [1, 1, 1, 1]
+    # serving-point val sampler (round-3 multi-seed protocol)
+    cfg.sr.model.diffusion.sampler = "ddim"
+    cfg.sr.model.diffusion.ddim_steps = 4 if args.cpu else 25
+    cfg.sr.model.diffusion.ddim_eta = 1.0
+    cfg.sr.model.diffusion.sampler_init = "marginal"
+    cfg.sr.model.diffusion.train_sampler = spec["sampler"]
+    cfg.sr.model.diffusion.train_ddim_steps = 4 if args.cpu else 25
+    if spec["int8"]:
+        cfg.sr.model.diffusion.train_handoff_int8 = True
+        cfg.sr.model.unet.quant_min_res = 1
+        cfg.sr.model.unet.quant_resample = True
+    cfg.sr.train.n_iter = args.steps
+    cfg.mica.train.max_steps = 0
+    cfg.train.log_steps = max(args.eval_every // 5, 1)
+    cfg.train.checkpoint_steps = args.eval_every
+    cfg.train.eval_steps = args.eval_every
+    cfg.mica.train.eval_steps = args.eval_every
+    cfg.train.vis_steps = 0
+    cfg.tpu.mesh_shape = [1, 1]
+    return cfg
+
+
+def ensure_data(wd: Path, seed: int, cfg, args) -> tuple[Path, Path]:
+    """Per-seed correlated data roots (generated once, reused by arms)."""
+    from sr3d_tpu.data.synthetic import (
+        generate_correlated_faces,
+        generate_correlated_joint_root,
+    )
+    from sr3d_tpu.models.flame import sphere_flame
+
+    lr = int(cfg.sr.datasets.train.l_resolution)
+    hr = int(cfg.sr.datasets.train.r_resolution)
+    n_shape = int(cfg.mica.model.n_shape)
+    n_exp = int(cfg.mica.model.n_exp)
+    # MUST match build_joint's sphere fallback exactly (same seed=0 model)
+    flame = sphere_flame(n_shape=n_shape, n_exp=n_exp)
+    joint = wd / f"data_s{seed}_{lr}_{hr}_{n_shape}" / "joint"
+    ev = wd / f"data_s{seed}_{lr}_{hr}_{n_shape}" / "eval"
+    if not joint.exists():
+        t0 = time.time()
+        generate_correlated_joint_root(
+            joint, flame, name="SYNC", n_actors=args.actors,
+            imgs_per_actor=args.imgs, img_res=224, lr_res=lr, hr_res=hr,
+            seed=seed, shape_std=args.shape_std)
+        generate_correlated_faces(ev, flame, n=args.val_faces, l_res=lr,
+                                  r_res=hr, seed=seed + 7777,
+                                  shape_std=args.shape_std)
+        print(f"[data] seed {seed}: {args.actors} actors x {args.imgs} "
+              f"rendered in {time.time() - t0:.0f}s -> {joint}", flush=True)
+    return joint, ev
+
+
+def run_arm(arm: str, seed: int, args, wd: Path) -> dict:
+    from sr3d_tpu.train.trainer import Trainer
+
+    cfg = build_cfg(arm, seed, args)
+    joint, ev = ensure_data(wd, seed, cfg, args)
+    cfg.output_dir = str(wd / "out" / f"{arm}_s{seed}")
+    cfg.mica.datasets.root = str(joint)
+    cfg.mica.datasets.training_data = ["SYNC"]
+    cfg.mica.datasets.eval_data = ["SYNC"]
+    cfg.sr.datasets.val.dataroot = str(ev)
+
+    trainer = Trainer(cfg)
+    trainer.prepare_data()
+    base = trainer.evaluate_MICA()  # untrained baseline (step 0)
+    t0 = time.time()
+    trainer.fit(max_steps=args.steps)
+    wall = time.time() - t0
+
+    jsonl = sorted(Path(cfg.output_dir).rglob("metrics.jsonl"))[0]
+    rows = [json.loads(line) for line in jsonl.read_text().splitlines()]
+    series: dict[str, list] = {}
+    for r in rows:
+        if "tag" in r:
+            series.setdefault(r["tag"], []).append(
+                (int(r["step"]), float(r["value"])))
+    return {"arm": arm, "seed": seed, "steps": args.steps,
+            "wall_s": round(wall, 1),
+            "sec_per_step": round(wall / max(args.steps, 1), 3),
+            "baseline": base, "series": series}
+
+
+def report(results: list[dict]) -> None:
+    def traj(rec, tag):
+        pts = dict(rec["series"].get(tag, []))
+        return pts
+
+    print("\n== per-run val_mica/l_mica (held-out actors) ==")
+    for rec in results:
+        pts = traj(rec, "val_mica/l_mica")
+        if not pts:
+            continue
+        steps = sorted(pts)
+        base = rec.get("baseline", {}).get("l_mica")
+        first, final = pts[steps[0]], pts[steps[-1]]
+        best = min(pts.values())
+        b = f"{base:.2f}" if base is not None else "n/a"
+        drop = (1 - final / base) * 100 if base else float("nan")
+        print(f"{rec['arm']:>18} s{rec['seed']}: base {b} -> "
+              f"first {first:.2f} -> best {best:.2f} -> final {final:.2f}"
+              f"  ({drop:+.1f}% vs base)  [{rec['sec_per_step']}s/step]")
+
+    by = {(r["arm"], r["seed"]): r for r in results}
+    seeds = sorted({r["seed"] for r in results})
+
+    def final_lmica(arm, s):
+        r = by.get((arm, s))
+        if not r:
+            return None
+        pts = traj(r, "val_mica/l_mica")
+        return pts[max(pts)] if pts else None
+
+    print("\n== paired comparisons (final val l_mica) ==")
+    pairs = [("m2_ddpm", "m2_ddim", "hand-off A/B: ddpm vs ddim"),
+             ("m2_ddim", "m2_ddim_int8", "ddim fp vs int8 hand-off"),
+             ("m3_ddim", "m3sever_ddim",
+              "flow-through grad vs severed (reference-literal)"),
+             ("m2_ddim", "m3_ddim", "model2 vs model3 (same hand-off)")]
+    for a, b_, label in pairs:
+        ds = [(s, final_lmica(a, s), final_lmica(b_, s)) for s in seeds]
+        ds = [(s, x, y) for s, x, y in ds if x is not None and y is not None]
+        if ds:
+            deltas = ", ".join(f"s{s}: {x:.2f} vs {y:.2f} (Δ {y - x:+.2f})"
+                               for s, x, y in ds)
+            print(f"{label}: {deltas}")
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--arms", default="m2_ddpm,m2_ddim,m3_ddim,m3sever_ddim")
+    ap.add_argument("--seeds", default="0,1")
+    ap.add_argument("--steps", type=int, default=1000)
+    ap.add_argument("--eval-every", type=int, default=125)
+    ap.add_argument("--actors", type=int, default=80)
+    ap.add_argument("--imgs", type=int, default=4)
+    ap.add_argument("--val-faces", type=int, default=4)
+    ap.add_argument("--shape-std", type=float, default=1.0)
+    ap.add_argument("--workdir", default="/tmp/ablate_r4")
+    ap.add_argument("--cache-dir", default="",
+                    help="persistent compile cache (TPU runs: survive "
+                         "tunnel outages without recompiling)")
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--report", action="store_true",
+                    help="re-print the analysis from results.json")
+    args = ap.parse_args(argv)
+
+    wd = Path(args.workdir)
+    wd.mkdir(parents=True, exist_ok=True)
+    res_path = wd / "results.json"
+    results = (json.loads(res_path.read_text()) if res_path.exists()
+               else [])
+    if args.report:
+        report(results)
+        return 0
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    if args.cache_dir:
+        from sr3d_tpu.serve import Predictor
+        Predictor.enable_compile_cache(args.cache_dir)
+
+    arms = [a.strip() for a in args.arms.split(",") if a.strip()]
+    unknown = [a for a in arms if a not in ARMS]
+    if unknown:
+        raise SystemExit(f"unknown arms {unknown}; choose from "
+                         f"{sorted(ARMS)}")
+    seeds = [int(s) for s in args.seeds.split(",") if s.strip()]
+
+    done = {(r["arm"], r["seed"]) for r in results
+            if r.get("steps") == args.steps}
+    for seed in seeds:
+        for arm in arms:
+            if (arm, seed) in done:
+                print(f"[skip] {arm} s{seed} already recorded", flush=True)
+                continue
+            print(f"[run] {arm} seed {seed}", flush=True)
+            rec = run_arm(arm, seed, args, wd)
+            results = [r for r in results
+                       if not (r["arm"] == arm and r["seed"] == seed)]
+            results.append(rec)
+            res_path.write_text(json.dumps(results, indent=1))
+            print(json.dumps({k: rec[k] for k in
+                              ("arm", "seed", "wall_s", "sec_per_step")}),
+                  flush=True)
+
+    report(results)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
