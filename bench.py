@@ -130,6 +130,18 @@ def main():
     dt_fp = time.perf_counter() - t0
     fp_faces_per_sec = n_runs * BATCH / dt_fp
 
+    # batch-1 latency of the same serving configuration (VERDICT r3 #4):
+    # a latency number that does not depend on the batching assumption
+    # behind the estimated-H100 comparison (the reference's python loop
+    # serves single-stream at ~3 s/face estimated)
+    cond1 = cond[:1]
+    jax.device_get(sample(params, cond1, jax.random.PRNGKey(1)))
+    n_lat = 20
+    t0 = time.perf_counter()
+    for i in range(n_lat):
+        jax.device_get(sample(params, cond1, jax.random.PRNGKey(40 + i)))
+    latency_ms_b1 = (time.perf_counter() - t0) / n_lat * 1000.0
+
     # reference-semantics ancestral number (24x the UNet calls: fewer runs)
     jax.device_get(sample_ancestral(params, cond, jax.random.PRNGKey(1)))
     n_anc = 3
@@ -149,6 +161,7 @@ def main():
         "fp_value": round(fp_faces_per_sec, 4),
         "fp_vs_baseline": round(
             fp_faces_per_sec / H100_SINGLE_STREAM_FACES_PER_SEC, 2),
+        "latency_ms_b1": round(latency_ms_b1, 1),
         "ancestral_value": round(anc_faces_per_sec, 4),
         "ancestral_vs_baseline": round(
             anc_faces_per_sec / H100_SINGLE_STREAM_FACES_PER_SEC, 2),

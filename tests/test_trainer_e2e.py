@@ -12,33 +12,17 @@ import pytest
 
 
 @pytest.fixture(scope="module", autouse=True)
-def _no_persistent_compile_cache():
-    """Skip persistent-compile-cache writes for this module.
-
-    The dp4*tp2 production trainer-step executable segfaults XLA's
+def _no_persistent_compile_cache(no_persistent_compile_cache):
+    """The dp4*tp2 production trainer-step executable segfaults XLA's
     ``LoadedExecutable.serialize()`` on the 8-virtual-device CPU backend
-    (hard crash inside ``compilation_cache.put_executable_and_time``, killing
-    the whole pytest process at ~93%).  Reproduced twice from a fresh
-    /tmp/jax_test_cache; everything compiled before this module serializes
-    fine, so the cache is disabled only here.  The module's compiles are
-    simply re-done each run.
-
-    Setting the config alone is NOT enough: jax caches the initialized
-    CacheInterface (and the is_cache_used bit) in module globals, so once any
-    earlier test compiled anything, the dir change is ignored and the write
-    still happens (observed: the suite still crashed here with only the
-    config update).  reset_cache() drops that sticky state so the None dir
-    actually takes effect; a second reset on teardown lets later modules
-    reinitialize with the restored dir.
-    """
-    from jax._src import compilation_cache as cc
-
-    prev = jax.config.jax_compilation_cache_dir
-    jax.config.update("jax_compilation_cache_dir", None)
-    cc.reset_cache()
+    (hard crash inside ``compilation_cache.put_executable_and_time``,
+    killing the whole pytest process at ~93%; reproduced twice from a
+    fresh /tmp/jax_test_cache).  Everything compiled before this module
+    serializes fine, so cache writes are disabled only here via the
+    shared conftest fixture — this module's compiles are re-done each
+    run.  See tests/conftest.py::no_persistent_compile_cache and the
+    breadcrumb guard there for diagnosing a reappearance."""
     yield
-    jax.config.update("jax_compilation_cache_dir", prev)
-    cc.reset_cache()
 
 
 @pytest.fixture(scope="module")

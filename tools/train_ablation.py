@@ -233,6 +233,11 @@ def main(argv=None) -> int:
                     help="persistent compile cache (TPU runs: survive "
                          "tunnel outages without recompiling)")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--datagen-only", action="store_true",
+                    help="render the per-seed correlated data on the LOCAL "
+                         "cpu platform (at full TPU geometry) and exit — "
+                         "run this before the TPU training process so the "
+                         "renders don't pay remote compiles/tunnel time")
     ap.add_argument("--report", action="store_true",
                     help="re-print the analysis from results.json")
     args = ap.parse_args(argv)
@@ -248,8 +253,13 @@ def main(argv=None) -> int:
 
     import jax
 
-    if args.cpu:
+    if args.cpu or args.datagen_only:
         jax.config.update("jax_platforms", "cpu")
+    if args.datagen_only:
+        for seed in [int(s) for s in args.seeds.split(",") if s.strip()]:
+            ensure_data(wd, seed,
+                        build_cfg(next(iter(ARMS)), seed, args), args)
+        return 0
     if args.cache_dir:
         from sr3d_tpu.serve import Predictor
         Predictor.enable_compile_cache(args.cache_dir)
