@@ -287,6 +287,10 @@ def get_cfg_defaults() -> ConfigNode:
             compute_dtype="bfloat16",     # activations/matmuls on MXU
             param_dtype="float32",
             sample_remat=True,            # jax.checkpoint per sampling step
+            sample_remat_chunk=1,         # checkpoint every k-th step (k>1 =
+                                          # coarser remat: k× step-activation
+                                          # memory, same gradients — the
+                                          # model3 full-depth cost knob)
             train_remat=True,             # remat UNet blocks in train step
             use_pallas=True,              # fused kernels where profitable
             donate_state=True,

@@ -164,6 +164,7 @@ def p_sample_loop(
     clip_denoised: bool = True,
     differentiable: bool = False,
     remat: bool = True,
+    remat_chunk: int = 1,
     return_intermediates: bool = False,
     time_input: Literal["gamma", "t"] = "gamma",
     fixed_noise: jax.Array | None = None,
@@ -223,13 +224,31 @@ def p_sample_loop(
                 kept)
         return (new_img, kept), None
 
-    body = step
-    if differentiable and remat:
-        body = jax.checkpoint(step, prevent_cse=False)
-
     kept0 = (jnp.zeros((n_kept,) + shape, jnp.float32)
              if return_intermediates else jnp.zeros((0,), jnp.float32))
-    (img, kept), _ = jax.lax.scan(body, (img0, kept0), jnp.arange(T))
+    if differentiable and remat and remat_chunk > 1:
+        # chunked rematerialisation (the tpu.sample_remat_chunk knob):
+        # checkpoint every k-th step boundary instead of every step — the
+        # backward pass recomputes each chunk once (same total recompute)
+        # while holding k steps' activations transiently, and XLA gets a
+        # k-step fusion window per remat region.  Gradients are EXACTLY
+        # those of remat_chunk=1 (tests/test_diffusion.py pins this).
+        k = int(remat_chunk)
+        if T % k:
+            raise ValueError(f"remat_chunk {k} must divide T={T}")
+
+        def chunk_body(carry, i_vec):
+            out, _ = jax.lax.scan(step, carry, i_vec)
+            return out, None
+
+        body = jax.checkpoint(chunk_body, prevent_cse=False)
+        (img, kept), _ = jax.lax.scan(
+            body, (img0, kept0), jnp.arange(T).reshape(T // k, k))
+    else:
+        body = step
+        if differentiable and remat:
+            body = jax.checkpoint(step, prevent_cse=False)
+        (img, kept), _ = jax.lax.scan(body, (img0, kept0), jnp.arange(T))
 
     if not differentiable:
         img = jax.lax.stop_gradient(img)

@@ -93,6 +93,13 @@ class JointModules:
                                        default=112)
     sample_remat: bool = dataclasses.field(metadata=dict(static=True),
                                            default=True)
+    # checkpoint every k-th sampling step instead of every step (the
+    # tpu.sample_remat_chunk knob): identical gradients, k× per-step
+    # activation memory held during a chunk's backward recompute, coarser
+    # remat boundaries for XLA to fuse across — measured on-chip in
+    # PERF.md "model3 remat policy" (VERDICT r3 #7)
+    sample_remat_chunk: int = dataclasses.field(metadata=dict(static=True),
+                                                default=1)
     val_sampler: str = dataclasses.field(metadata=dict(static=True),
                                          default="ddpm")
     ddim_steps: int = dataclasses.field(metadata=dict(static=True),
@@ -206,6 +213,7 @@ def build_joint(cfg, flame: FlameModel | None = None,
         val_sampler=str(cfg.sr.model.diffusion.get("sampler", "ddpm")),
         ddim_steps=int(cfg.sr.model.diffusion.get("ddim_steps", 50)),
         ddim_eta=float(cfg.sr.model.diffusion.get("ddim_eta", 1.0)),
+        sample_remat_chunk=int(cfg.tpu.get("sample_remat_chunk", 1)),
         sampler_init=str(cfg.sr.model.diffusion.get("sampler_init",
                                                     "noise")),
         dpmpp_eta=float(cfg.sr.model.diffusion.get("dpmpp_eta", 0.0)),
@@ -405,7 +413,8 @@ def _handoff_sample(modules: "JointModules", denoise, cond, rng,
             "expected 'ddpm' (reference semantics) or 'ddim'")
     return p_sample_loop(
         denoise, modules.sched_train, cond, rng,
-        differentiable=differentiable, remat=modules.sample_remat).final
+        differentiable=differentiable, remat=modules.sample_remat,
+        remat_chunk=modules.sample_remat_chunk).final
 
 
 def make_train_step(opt: optax.GradientTransformation,

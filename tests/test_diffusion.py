@@ -7,6 +7,7 @@ discrete-t variant model/sr/ddpm_modules/diffusion.py.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from sr3d_tpu.diffusion.gaussian import (
     p_losses_continuous,
@@ -248,3 +249,33 @@ def test_strided_samplers_exact_with_oracle_denoiser():
             np.testing.assert_allclose(np.asarray(out_sde), np.asarray(x0),
                                        atol=2e-4,
                                        err_msg=f"dpm++sde {num_steps} {init}")
+
+
+def test_remat_chunk_gradients_match(tiny_unet, tiny_schedule):
+    """Chunked rematerialisation (tpu.sample_remat_chunk, the model3
+    full-depth cost knob — VERDICT r3 #7) must change WHERE activations
+    are recomputed, never the gradients: grads through the full
+    differentiable loop are equal for remat_chunk 1 (per-step, the
+    reference-analogue) and k>1."""
+    unet, params = tiny_unet
+    cond = jax.random.uniform(jax.random.PRNGKey(3), (2, 16, 16, 3),
+                              jnp.float32, -1, 1)
+
+    def make_loss(chunk):
+        def loss(p):
+            out = p_sample_loop(
+                lambda x, t: unet.apply(p, x, t), tiny_schedule, cond,
+                jax.random.PRNGKey(11), differentiable=True, remat=True,
+                remat_chunk=chunk).final
+            return jnp.sum(out ** 2)
+        return loss
+
+
+    g1 = jax.jit(jax.grad(make_loss(1)))(params)
+    g5 = jax.jit(jax.grad(make_loss(5)))(params)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g5)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-6)
+
+    with pytest.raises(ValueError, match="must divide"):
+        make_loss(7)(params)  # T=20 not divisible by 7

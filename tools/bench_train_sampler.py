@@ -41,6 +41,12 @@ def main(argv=None) -> int:
                          "hand-off sampling at quant_min_res=1 + "
                          "quant_resample — the serving recipe; legal for "
                          "the gradient-severed hand-off, PERF.md)")
+    ap.add_argument("--remat-chunks", default="",
+                    help="comma list of tpu.sample_remat_chunk values: "
+                         "REPLACES the case list with model3 flow-through "
+                         "ddpm rows at each chunk (the VERDICT r3 #7 remat "
+                         "policy study; gradients are chunk-invariant, "
+                         "tests/test_diffusion.py)")
     args = ap.parse_args(argv)
 
     import jax
@@ -60,18 +66,22 @@ def main(argv=None) -> int:
     )
 
     variants = tuple(v.strip() for v in args.variants.split(",") if v.strip())
-    cases = [(v, False, s, n, False)
-             for v in variants for s, n in (("ddpm", 0), ("ddim", 25))]
+    if args.remat_chunks:
+        cases = [("model3", False, "ddpm", 0, False, int(k))
+                 for k in args.remat_chunks.split(",") if k.strip()]
+    else:
+        cases = [(v, False, s, n, False, 1)
+                 for v in variants for s, n in (("ddpm", 0), ("ddim", 25))]
     if args.int8_handoff:
         int8_cases = []
         if "model2" in variants:
-            int8_cases += [("model2", False, s, n, True)
+            int8_cases += [("model2", False, s, n, True, 1)
                            for s, n in (("ddpm", 0), ("ddim", 25))]
         if "model3" in variants:
             # the other legal int8 hand-off: reference-literal severed
             # model3 (cfg.train.sever_sr_grad — the int8 rounding carries
             # no gradient, so only gradient-severed hand-offs may use it)
-            int8_cases += [("model3", True, s, n, True)
+            int8_cases += [("model3", True, s, n, True, 1)
                            for s, n in (("ddpm", 0), ("ddim", 25))]
         if not int8_cases:
             print("warning: --int8-handoff yields no cases for "
@@ -80,11 +90,12 @@ def main(argv=None) -> int:
         cases += int8_cases
 
     results = []
-    for variant, sever, sampler, n_fast, int8 in cases:
+    for variant, sever, sampler, n_fast, int8, chunk in cases:
         cfg = update_cfg(
             get_cfg_defaults(),
             str(REPO / f"configs/sr_sr3_VGGF2_16_128_{variant}.yml"))
         cfg.train.sever_sr_grad = sever
+        cfg.tpu.sample_remat_chunk = chunk
         cfg.sr.model.diffusion.train_sampler = sampler
         cfg.sr.model.diffusion.train_ddim_steps = max(n_fast, 4)
         if int8:
@@ -133,6 +144,7 @@ def main(argv=None) -> int:
         per_step = (time.time() - t0) / args.steps
         rec = {"variant": variant,
                "sever_sr_grad": sever,
+               "remat_chunk": chunk,
                "train_sampler": (f"ddim-{cfg.sr.model.diffusion.train_ddim_steps}"
                                  if sampler == "ddim" else
                                  f"ddpm-{cfg.sr.model.beta_schedule.train.n_timestep}"),
