@@ -61,13 +61,24 @@ def parse_args(argv=None):
         cfg.checkpoint = args.checkpoint
     if args.model:
         cfg.model = args.model
-    if args.debug:
+    # reference debug mode triggers on 'debug' in the experiment NAME
+    # (core/logger.py:55-64); --debug is the explicit spelling of the same
+    if args.debug or "debug" in (cfg.get("name") or ""):
         cfg.debug = True
+        # the reference's full shrink set (core/logger.py:56-64):
+        # val_freq/print_freq=2, save_checkpoint_freq=3, batch_size=2,
+        # T=10 both phases, data_len 6 train / 3 val
+        cfg.train.eval_steps = 2
+        cfg.mica.train.eval_steps = 2
+        cfg.train.log_steps = 2
+        cfg.train.checkpoint_steps = 3
+        cfg.sr.datasets.train.batch_size = 2
         for ph in ("train", "val"):
             cfg.sr.model.beta_schedule[ph].n_timestep = 10
-        cfg.sr.datasets.val.data_len = 6
-        cfg.train.log_steps = 1
-        cfg.name = (cfg.get("name") or "run") + "_debug"
+        cfg.sr.datasets.train.data_len = 6
+        cfg.sr.datasets.val.data_len = 3
+        if args.debug and "debug" not in (cfg.get("name") or ""):
+            cfg.name = (cfg.get("name") or "run") + "_debug"
     return cfg, args
 
 
