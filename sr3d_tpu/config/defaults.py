@@ -222,6 +222,14 @@ def get_cfg_defaults() -> ConfigNode:
             reset_optimizer=False,
             val_save_img=5000,
             arcface_new=False,
+            # Reference semantics: MICA freezes the pretrained ArcFace
+            # stem + stages 1-3 and trains only stage 4 / head (reference
+            # model/mica/arcface.py:171-176).  That freeze presumes a
+            # pretrained backbone.pth; when ArcFace is RANDOM-init (no
+            # assets, e.g. synthetic studies) a frozen random prefix makes
+            # the identity→shape task unlearnable — set False to train the
+            # whole encoder (prefix BN then also runs in train mode).
+            freeze_arcface_prefix=True,
         )
     )
 

@@ -135,6 +135,14 @@ class JointModules:
     # the l_sr p_losses term always stays fp.
     train_handoff_int8: bool = dataclasses.field(metadata=dict(static=True),
                                                  default=False)
+    # Train the ArcFace stem + stages 1-3 too (BN in train mode; the
+    # optimizer unfreezes them via ``cfg.mica.train.freeze_arcface_prefix``,
+    # which also sets this flag).  False = reference semantics
+    # (model/mica/arcface.py:171-176), correct when the prefix carries
+    # pretrained weights; True is for random-init encoders, where a frozen
+    # random prefix would cap what the identity→shape mapping can learn.
+    train_arcface_prefix: bool = dataclasses.field(metadata=dict(static=True),
+                                                   default=False)
 
 
 class JointTrainState(NamedTuple):
@@ -223,6 +231,8 @@ def build_joint(cfg, flame: FlameModel | None = None,
                                                         25)),
         train_handoff_int8=bool(
             cfg.sr.model.diffusion.get("train_handoff_int8", False)),
+        train_arcface_prefix=not bool(
+            cfg.mica.train.get("freeze_arcface_prefix", True)),
     )
 
 
@@ -239,10 +249,13 @@ def make_optimizer(cfg) -> optax.GradientTransformation:
             decay_rate=float(cfg.mica.train.lr_gamma),
             staircase=True)
 
+    freeze_prefix = bool(cfg.mica.train.get("freeze_arcface_prefix", True))
+
     def param_labels(params):
         from ..models.arcface import frozen_prefix_mask
         af_labels = jax.tree.map(
-            lambda trainable: "arcface" if trainable else "frozen",
+            lambda trainable: ("arcface" if trainable or not freeze_prefix
+                               else "frozen"),
             frozen_prefix_mask(params["arcface"]))
         return {
             "sr": jax.tree.map(lambda _: "sr", params["sr"]),
@@ -339,7 +352,9 @@ def encode_mica(modules: JointModules, params, arcface_stats, blob,
     variables = {"params": params["arcface"], "batch_stats": arcface_stats}
     if train:
         emb, updates = modules.arcface.apply(
-            variables, blob, train=True, mutable=["batch_stats"])
+            variables, blob, train=True,
+            train_frozen_prefix=modules.train_arcface_prefix,
+            mutable=["batch_stats"])
         new_stats = updates["batch_stats"]
     else:
         emb = modules.arcface.apply(variables, blob)

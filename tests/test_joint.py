@@ -429,3 +429,46 @@ def test_val_step_use_ema_selects_ema_params(joint_setup):
     np.testing.assert_allclose(np.asarray(out_ema["sr"]),
                                np.asarray(out_ref["sr"]), atol=1e-6)
     assert float(jnp.max(jnp.abs(out_ema["sr"] - out_live["sr"]))) > 1e-4
+
+
+def test_freeze_arcface_prefix_knob():
+    """Default True = reference semantics (model/mica/arcface.py:171-176:
+    stem + stages 1-3 never update, prefix BN stays in running-average
+    mode); ``mica.train.freeze_arcface_prefix: false`` trains the whole
+    encoder (prefix params update, prefix BN stats move) — the random-init
+    study regime (no pretrained backbone.pth in this environment)."""
+    from sr3d_tpu.train.joint import make_train_step
+
+    def one_step(freeze):
+        cfg = tiny_cfg("model2")
+        cfg.mica.train.freeze_arcface_prefix = freeze
+        modules = build_joint(cfg)
+        opt = make_optimizer(cfg)
+        state = init_train_state(modules, cfg, jax.random.PRNGKey(0), 16)
+        step = make_train_step(opt)
+        new_state, _ = step(modules, state, batch_of(),
+                            jax.random.PRNGKey(1))
+        return state, new_state
+
+    def prefix_delta(tree_old, tree_new, scope):
+        a = jax.tree_util.tree_leaves(tree_old[scope])
+        b = jax.tree_util.tree_leaves(tree_new[scope])
+        return max(float(np.max(np.abs(np.asarray(x) - np.asarray(y))))
+                   for x, y in zip(a, b))
+
+    st, st2 = one_step(True)
+    assert prefix_delta(st.params["arcface"], st2.params["arcface"],
+                        "layer1") == 0.0
+    assert prefix_delta(st.params["arcface"], st2.params["arcface"],
+                        "conv1") == 0.0
+    assert prefix_delta(st.arcface_stats, st2.arcface_stats, "bn1") == 0.0
+    # head still trains under the freeze
+    assert prefix_delta(st.params["arcface"], st2.params["arcface"],
+                        "layer4") > 0.0
+
+    st, st2 = one_step(False)
+    assert prefix_delta(st.params["arcface"], st2.params["arcface"],
+                        "layer1") > 0.0
+    assert prefix_delta(st.params["arcface"], st2.params["arcface"],
+                        "conv1") > 0.0
+    assert prefix_delta(st.arcface_stats, st2.arcface_stats, "bn1") > 0.0

@@ -75,6 +75,17 @@ def build_cfg(arm: str, seed: int, args):
     cfg.name = f"{arm}_s{seed}"
     cfg.train.sever_sr_grad = bool(spec["sever"])
     cfg.mica.model.synthetic_flame_kind = "sphere"
+    # Study regime, not a parity claim: this environment has no pretrained
+    # backbone.pth, so the reference's ArcFace prefix freeze would pin 3/4
+    # of a RANDOM-init encoder (identity→shape then cannot be learned —
+    # measured: val l_mica moved <0.5% in 400 flagship steps), and the
+    # reference lr=1e-5 is scaled for 2M-step runs on real data.  The
+    # paired A/Bs need a regime where l_mica visibly learns within
+    # --steps; every arm shares it, so the comparisons stay paired.
+    cfg.mica.train.freeze_arcface_prefix = False
+    if args.mica_lr:
+        cfg.mica.train.lr = float(args.mica_lr)
+        cfg.mica.train.arcface_lr = float(args.mica_lr)
     if args.cpu:
         for ds in ("train", "val"):
             cfg.sr.datasets[ds].l_resolution = 8
@@ -228,6 +239,11 @@ def main(argv=None) -> int:
     ap.add_argument("--imgs", type=int, default=4)
     ap.add_argument("--val-faces", type=int, default=4)
     ap.add_argument("--shape-std", type=float, default=1.0)
+    ap.add_argument("--mica-lr", type=float, default=1e-4,
+                    help="study lr for mapping+arcface (0 keeps the "
+                         "config's reference 1e-5, which is scaled for "
+                         "2M-step runs and moves l_mica <1%% in a "
+                         "1000-step study)")
     ap.add_argument("--workdir", default="/tmp/ablate_r4")
     ap.add_argument("--cache-dir", default="",
                     help="persistent compile cache (TPU runs: survive "
