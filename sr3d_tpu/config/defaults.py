@@ -265,6 +265,11 @@ def get_cfg_defaults() -> ConfigNode:
             # checkpoints retained by rotation; ≤0 keeps all (the reference
             # keeps every I*_E*_checkpoint.pth)
             checkpoint_max_keep=5,
+            # False: best-model TRACKING still runs (best_model.txt logic,
+            # BestModel averages) but the full-state npz snapshot writes are
+            # skipped — for studies where the trajectory is the product and
+            # a ~GB-scale write per improved eval dominates wall time
+            best_snapshots=True,
             val_vis_dir="val_images_mica",
             eval_steps=5000,
             reset_optimizer=False,

@@ -551,6 +551,12 @@ class Trainer:
 
     def _save_best(self, tag: str) -> None:
         """Named best-model snapshot (reference best_models/*.tar)."""
+        if not bool(self.cfg.train.get("best_snapshots", True)):
+            # study mode: tracker math runs, multi-GB npz writes don't
+            # (a full-state snapshot is ~30-60 s of disk per improvement)
+            logger.info("[BEST] %s @ step %d (snapshot writes disabled)",
+                        tag, self.global_step)
+            return
         save_state_npz(self.output_dir / "best_models" / f"{tag}.npz",
                        jax.device_get(self.state),
                        {"global_step": self.global_step,
@@ -597,14 +603,15 @@ class Trainer:
             self.global_step, prefix="val_mica/")
         if self.best_model_loss is None or combined < self.best_model_loss:
             self.best_model_loss = combined
-            save_state_npz(self.output_dir / "best_model.npz",
-                           jax.device_get(self.state),
-                           {"global_step": self.global_step,
-                            "epoch": self.epoch})
-            (self.output_dir / "best_model.txt").write_text(
-                "<epoch:{:3d}, iter:{:8,d}, loss: {:4f}> ".format(
-                    self.epoch, self.global_step, self.best_model_loss))
-            logger.info("New best model saved.")
+            if bool(cfg.train.get("best_snapshots", True)):
+                save_state_npz(self.output_dir / "best_model.npz",
+                               jax.device_get(self.state),
+                               {"global_step": self.global_step,
+                                "epoch": self.epoch})
+                (self.output_dir / "best_model.txt").write_text(
+                    "<epoch:{:3d}, iter:{:8,d}, loss: {:4f}> ".format(
+                        self.epoch, self.global_step, self.best_model_loss))
+                logger.info("New best model saved.")
         self.best_model(combined, l_mica)
         return {"l_sr": l_sr, "l_mica": l_mica, "combined": combined}
 

@@ -115,7 +115,12 @@ def build_cfg(arm: str, seed: int, args):
     cfg.sr.train.n_iter = args.steps
     cfg.mica.train.max_steps = 0
     cfg.train.log_steps = max(args.eval_every // 5, 1)
-    cfg.train.checkpoint_steps = args.eval_every
+    # study cadences: no orbax mid-run saves, no multi-GB best-model
+    # snapshots (the trajectory is the product; a ~1.5 GB full-state npz
+    # per improved eval was costing more wall time than the ddim arms'
+    # training) — fit() still writes one final checkpoint per arm
+    cfg.train.checkpoint_steps = 0
+    cfg.train.best_snapshots = False
     cfg.train.eval_steps = args.eval_every
     cfg.mica.train.eval_steps = args.eval_every
     cfg.train.vis_steps = 0
