@@ -270,6 +270,13 @@ def get_cfg_defaults() -> ConfigNode:
             # skipped — for studies where the trajectory is the product and
             # a ~GB-scale write per improved eval dominates wall time
             best_snapshots=True,
+            # model3 flow-through: scale on the ∂l_mica/∂θ_sr gradient
+            # through the differentiable hand-off.  1.0 = the reference's
+            # intended unscaled flow-through, which the round-4 ablation
+            # measured to collapse the SR branch (l_mica is 10²-10³× l_sr);
+            # ~1e-3 rebalances the two gradient streams.  Ignored by
+            # model2 and by sever_sr_grad.
+            handoff_grad_scale=1.0,
             val_vis_dir="val_images_mica",
             eval_steps=5000,
             reset_optimizer=False,

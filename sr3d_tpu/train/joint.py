@@ -143,6 +143,12 @@ class JointModules:
     # random prefix would cap what the identity→shape mapping can learn.
     train_arcface_prefix: bool = dataclasses.field(metadata=dict(static=True),
                                                    default=False)
+    # model3 flow-through only: scale on the ∂l_mica/∂θ_sr gradient
+    # through the differentiable hand-off (1.0 = the reference's intended
+    # unscaled flow-through; ignored when sever_sr_grad).  See the
+    # rebalancing note at the hand-off site in make_train_step.
+    handoff_grad_scale: float = dataclasses.field(metadata=dict(static=True),
+                                                  default=1.0)
 
 
 class JointTrainState(NamedTuple):
@@ -233,6 +239,8 @@ def build_joint(cfg, flame: FlameModel | None = None,
             cfg.sr.model.diffusion.get("train_handoff_int8", False)),
         train_arcface_prefix=not bool(
             cfg.mica.train.get("freeze_arcface_prefix", True)),
+        handoff_grad_scale=float(
+            cfg.train.get("handoff_grad_scale", 1.0)),
     )
 
 
@@ -343,6 +351,14 @@ def _sr_denoise_fn(modules: JointModules, sr_params, quant: bool = False):
         # PERF.md "int8 at the O=64 levels") — inference-only call sites
         return lambda x, t: modules.unet.apply(sr_params, x, t, quant=True)
     return lambda x, t: modules.unet.apply(sr_params, x, t)
+
+
+def scale_handoff_grad(x: jax.Array, s: float) -> jax.Array:
+    """Value-preserving gradient scale: forward ``x`` unchanged, backward
+    ``s·∂/∂x`` (``s=1`` is the identity, ``s=0`` a stop_gradient)."""
+    if s == 1.0:
+        return x
+    return s * x + (1.0 - s) * jax.lax.stop_gradient(x)
 
 
 def encode_mica(modules: JointModules, params, arcface_stats, blob,
@@ -478,6 +494,15 @@ def make_train_step(opt: optax.GradientTransformation,
             # reference-literal model3: continuous tensor blob, detached
             # (create_tensor_blob + .detach(), model/sr3d/model.py:483-490)
             final = jax.lax.stop_gradient(final)
+        elif modules.variant == "model3":
+            # rebalanced flow-through (train.handoff_grad_scale): forward
+            # value unchanged, the ∂l_mica/∂θ_sr backward path scaled by
+            # s.  l_mica (vertex-l1 scale ~10²) is 10²-10³× l_sr, and at
+            # s=1 its gradient through the sampling chain swamps p_losses
+            # and collapses the UNet (measured: val PSNR → 4 dB, PERF.md
+            # round-4 ablation); s ≪ 1 puts the two gradient streams on
+            # comparable footing so flow-through can be tested fairly.
+            final = scale_handoff_grad(final, modules.handoff_grad_scale)
         img224, blob = sr_to_mica_inputs(
             final, image_size=modules.image_size,
             blob_size=modules.blob_size,

@@ -472,3 +472,28 @@ def test_freeze_arcface_prefix_knob():
     assert prefix_delta(st.params["arcface"], st2.params["arcface"],
                         "conv1") > 0.0
     assert prefix_delta(st.arcface_stats, st2.arcface_stats, "bn1") > 0.0
+
+
+def test_handoff_grad_scale():
+    """train.handoff_grad_scale: forward values identical, the
+    ∂l_mica/∂θ_sr stream scaled EXACTLY linearly (s=0 severs it like the
+    reference's .detach() while keeping the continuous model3 blob)."""
+    from sr3d_tpu.train.joint import scale_handoff_grad
+
+    x = jnp.asarray(np.random.RandomState(0).randn(4, 8).astype(np.float32))
+
+    def loss(x, s):
+        return jnp.sum(jnp.sin(scale_handoff_grad(x, s)) ** 2)
+
+    for s in (1.0, 0.3, 0.0):
+        np.testing.assert_array_equal(np.asarray(scale_handoff_grad(x, s)),
+                                      np.asarray(x))
+        g = jax.grad(loss)(x, s)
+        g1 = jax.grad(loss)(x, 1.0)
+        np.testing.assert_allclose(np.asarray(g), s * np.asarray(g1),
+                                   rtol=1e-6)
+
+    # config wiring: cfg.train.handoff_grad_scale reaches the modules
+    cfg = tiny_cfg("model3")
+    cfg.train.handoff_grad_scale = 1e-3
+    assert build_joint(cfg).handoff_grad_scale == 1e-3

@@ -61,6 +61,12 @@ ARMS = {
                          int8=False),
     "m3sever_ddim_int8": dict(cfgfile="model3", sever=True, sampler="ddim",
                               int8=True),
+    # rebalanced flow-through: unscaled m3 measured destructive (the
+    # l_mica-scale gradient through the sampling chain collapses the
+    # UNet); this arm tests whether flow-through HELPS once the two
+    # gradient streams are on comparable footing (handoff_grad_scale)
+    "m3_gs1m": dict(cfgfile="model3", sever=False, sampler="ddim",
+                    int8=False, grad_scale=1e-3),
 }
 
 
@@ -74,6 +80,7 @@ def build_cfg(arm: str, seed: int, args):
     cfg.seed = seed
     cfg.name = f"{arm}_s{seed}"
     cfg.train.sever_sr_grad = bool(spec["sever"])
+    cfg.train.handoff_grad_scale = float(spec.get("grad_scale", 1.0))
     cfg.mica.model.synthetic_flame_kind = "sphere"
     # Study regime, not a parity claim: this environment has no pretrained
     # backbone.pth, so the reference's ArcFace prefix freeze would pin 3/4
@@ -224,7 +231,11 @@ def report(results: list[dict]) -> None:
              ("m2_ddim", "m2_ddim_int8", "ddim fp vs int8 hand-off"),
              ("m3_ddim", "m3sever_ddim",
               "flow-through grad vs severed (reference-literal)"),
-             ("m2_ddim", "m3_ddim", "model2 vs model3 (same hand-off)")]
+             ("m2_ddim", "m3_ddim", "model2 vs model3 (same hand-off)"),
+             ("m2_ddim", "m3_gs1m",
+              "model2 vs REBALANCED flow-through (grad_scale 1e-3)"),
+             ("m3sever_ddim", "m3_gs1m",
+              "severed vs rebalanced flow-through")]
     for a, b_, label in pairs:
         ds = [(s, final_lmica(a, s), final_lmica(b_, s)) for s in seeds]
         ds = [(s, x, y) for s, x, y in ds if x is not None and y is not None]
