@@ -89,8 +89,8 @@ def main(argv=None) -> int:
                   "for model2 and severed model3 only)", file=sys.stderr)
         cases += int8_cases
 
-    results = []
-    for variant, sever, sampler, n_fast, int8, chunk in cases:
+    def run_case(case):
+        variant, sever, sampler, n_fast, int8, chunk = case
         cfg = update_cfg(
             get_cfg_defaults(),
             str(REPO / f"configs/sr_sr3_VGGF2_16_128_{variant}.yml"))
@@ -142,17 +142,30 @@ def main(argv=None) -> int:
                                jax.random.PRNGKey(2 + i))
             jax.device_get(m["loss"])  # per-step barrier (CLAUDE.md)
         per_step = (time.time() - t0) / args.steps
-        rec = {"variant": variant,
-               "sever_sr_grad": sever,
-               "remat_chunk": chunk,
-               "train_sampler": (f"ddim-{cfg.sr.model.diffusion.train_ddim_steps}"
-                                 if sampler == "ddim" else
-                                 f"ddpm-{cfg.sr.model.beta_schedule.train.n_timestep}"),
-               "handoff_int8": int8,
-               "batch": args.batch,
-               "compile_s": round(compile_s, 1),
-               "sec_per_step": round(per_step, 3),
-               "loss_finite": bool(np.isfinite(float(m["loss"])))}
+        return {"variant": variant,
+                "sever_sr_grad": sever,
+                "remat_chunk": chunk,
+                "train_sampler": (f"ddim-{cfg.sr.model.diffusion.train_ddim_steps}"
+                                  if sampler == "ddim" else
+                                  f"ddpm-{cfg.sr.model.beta_schedule.train.n_timestep}"),
+                "handoff_int8": int8,
+                "batch": args.batch,
+                "compile_s": round(compile_s, 1),
+                "sec_per_step": round(per_step, 3),
+                "loss_finite": bool(np.isfinite(float(m["loss"])))}
+
+    results = []
+    for case in cases:
+        try:
+            rec = run_case(case)
+        except Exception as e:  # e.g. RESOURCE_EXHAUSTED at large remat chunks
+            variant, sever, sampler, n_fast, int8, chunk = case
+            print(json.dumps({"variant": variant, "sever_sr_grad": sever,
+                              "remat_chunk": chunk, "train_sampler": sampler,
+                              "handoff_int8": int8,
+                              "error": f"{type(e).__name__}: {e}"[:300]}),
+                  flush=True)
+            continue
         results.append(rec)
         print(json.dumps(rec), flush=True)
 

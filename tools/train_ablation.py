@@ -216,6 +216,17 @@ def report(results: list[dict]) -> None:
               f"first {first:.2f} -> best {best:.2f} -> final {final:.2f}"
               f"  ({drop:+.1f}% vs base)  [{rec['sec_per_step']}s/step]")
 
+    print("\n== per-run val_mica/l_sr (does the SR branch still learn?) ==")
+    for rec in results:
+        pts = traj(rec, "val_mica/l_sr")
+        if not pts:
+            continue
+        steps = sorted(pts)
+        base = rec.get("baseline", {}).get("l_sr")
+        b = f"{base:.3f}" if base is not None else "n/a"
+        print(f"{rec['arm']:>18} s{rec['seed']}: base {b} -> "
+              f"final {pts[steps[-1]]:.3f}")
+
     by = {(r["arm"], r["seed"]): r for r in results}
     seeds = sorted({r["seed"] for r in results})
 
