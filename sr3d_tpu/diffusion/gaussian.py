@@ -388,6 +388,7 @@ def ddim_sample_loop(
     init: str = "noise",
     differentiable: bool = False,
     remat: bool = True,
+    remat_chunk: int = 1,
 ) -> jax.Array:
     """Deterministic/η-stochastic DDIM over a strided timestep subsequence.
 
@@ -432,10 +433,28 @@ def ddim_sample_loop(
         noise = jnp.where(t_prev >= 0, noise, jnp.zeros_like(noise))
         return jnp.sqrt(a_prev) * x0 + dir_xt + sigma * noise, None
 
-    body = step
-    if differentiable and remat:
-        body = jax.checkpoint(step, prevent_cse=False)
-    img, _ = jax.lax.scan(body, img0, jnp.arange(num_steps - 1, -1, -1))
+    order = jnp.arange(num_steps - 1, -1, -1)
+    if differentiable and remat and remat_chunk > 1:
+        # chunked rematerialisation, same trade as p_sample_loop's
+        # tpu.sample_remat_chunk: checkpoint every k-th boundary, hold k
+        # steps' activations transiently, gradients exactly equal to
+        # remat_chunk=1 (tests/test_diffusion.py pins both loops).
+        k = int(remat_chunk)
+        if num_steps % k:
+            raise ValueError(
+                f"remat_chunk {k} must divide num_steps={num_steps}")
+
+        def chunk_body(img, i_vec):
+            out, _ = jax.lax.scan(step, img, i_vec)
+            return out, None
+
+        body = jax.checkpoint(chunk_body, prevent_cse=False)
+        img, _ = jax.lax.scan(body, img0, order.reshape(num_steps // k, k))
+    else:
+        body = step
+        if differentiable and remat:
+            body = jax.checkpoint(step, prevent_cse=False)
+        img, _ = jax.lax.scan(body, img0, order)
     if not differentiable:
         img = jax.lax.stop_gradient(img)
     return img

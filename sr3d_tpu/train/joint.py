@@ -437,7 +437,8 @@ def _handoff_sample(modules: "JointModules", denoise, cond, rng,
         return ddim_sample_loop(
             denoise, modules.sched_train, cond, rng,
             num_steps=modules.train_ddim_steps, eta=1.0, init="marginal",
-            differentiable=differentiable, remat=modules.sample_remat)
+            differentiable=differentiable, remat=modules.sample_remat,
+            remat_chunk=modules.sample_remat_chunk)
     if modules.train_sampler != "ddpm":
         raise ValueError(
             f"unknown train_sampler {modules.train_sampler!r}: "
