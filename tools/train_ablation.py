@@ -271,7 +271,14 @@ def main(argv=None) -> int:
                          "config's reference 1e-5, which is scaled for "
                          "2M-step runs and moves l_mica <1%% in a "
                          "1000-step study)")
-    ap.add_argument("--workdir", default="/tmp/ablate_r4")
+    ap.add_argument("--workdir", default="/tmp/ablate_r5",
+                    help="scratch dir for data/checkpoints; results.json "
+                         "is ALSO mirrored to --results-copy so study "
+                         "evidence survives host reimage")
+    ap.add_argument("--results-copy", default="",
+                    help="durable path (e.g. /root/repo/ABLATION_r5.json) "
+                         "that receives a copy of results.json after every "
+                         "completed run")
     ap.add_argument("--cache-dir", default="",
                     help="persistent compile cache (TPU runs: survive "
                          "tunnel outages without recompiling)")
@@ -327,6 +334,9 @@ def main(argv=None) -> int:
                        if not (r["arm"] == arm and r["seed"] == seed)]
             results.append(rec)
             res_path.write_text(json.dumps(results, indent=1))
+            if args.results_copy:
+                Path(args.results_copy).write_text(
+                    json.dumps(results, indent=1))
             print(json.dumps({k: rec[k] for k in
                               ("arm", "seed", "wall_s", "sec_per_step")}),
                   flush=True)
