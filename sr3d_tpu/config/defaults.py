@@ -277,6 +277,13 @@ def get_cfg_defaults() -> ConfigNode:
             # ~1e-3 rebalances the two gradient streams.  Ignored by
             # model2 and by sever_sr_grad.
             handoff_grad_scale=1.0,
+            # what the MICA branch trains/evals on: "sampled" = the
+            # reference pipeline (in-step SR sampling feeds MICA);
+            # "cond" / "hr" are the bicubic-lower-bound / HR-oracle
+            # CONTROL ARMS for the SR→reconstruction value-chain study
+            # (tools/train_ablation.py) — they skip the hand-off sampling
+            # while leaving l_sr / SR-branch training untouched
+            handoff_source="sampled",
             val_vis_dir="val_images_mica",
             eval_steps=5000,
             reset_optimizer=False,
@@ -310,7 +317,12 @@ def get_cfg_defaults() -> ConfigNode:
             sample_remat_chunk=1,         # checkpoint every k-th step (k>1 =
                                           # coarser remat: k× step-activation
                                           # memory, same gradients — the
-                                          # model3 full-depth cost knob)
+                                          # model3 full-depth cost knob).
+                                          # k must divide the loop length:
+                                          # T for train_sampler=ddpm,
+                                          # train_ddim_steps for ddim (the
+                                          # hand-off falls back to per-step
+                                          # remat with a warning otherwise)
             train_remat=True,             # remat UNet blocks in train step
             use_pallas=True,              # fused kernels where profitable
             donate_state=True,

@@ -438,7 +438,9 @@ def ddim_sample_loop(
         # chunked rematerialisation, same trade as p_sample_loop's
         # tpu.sample_remat_chunk: checkpoint every k-th boundary, hold k
         # steps' activations transiently, gradients exactly equal to
-        # remat_chunk=1 (tests/test_diffusion.py pins both loops).
+        # remat_chunk=1 (tests/test_diffusion.py::
+        # test_remat_chunk_gradients_match_ddim pins this loop at the
+        # joint hand-off's exact call signature).
         k = int(remat_chunk)
         if num_steps % k:
             raise ValueError(

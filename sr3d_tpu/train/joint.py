@@ -37,6 +37,7 @@ model/sr3d/model.py:333-339), expressed as one ``optax.multi_transform``.
 from __future__ import annotations
 
 import dataclasses
+import warnings
 from typing import Any, NamedTuple
 
 import jax
@@ -149,6 +150,16 @@ class JointModules:
     # rebalancing note at the hand-off site in make_train_step.
     handoff_grad_scale: float = dataclasses.field(metadata=dict(static=True),
                                                   default=1.0)
+    # What image the MICA branch trains/evals on (train.handoff_source).
+    # "sampled" = the reference pipeline (SR sampling feeds MICA,
+    # model/sr3d/model.py:441-533).  The other two are CONTROL ARMS for
+    # the reference's core scientific claim — that super-resolved faces
+    # improve 3D reconstruction over the LR input: "cond" feeds MICA the
+    # bicubic-upsampled conditioning image (no diffusion sampling at the
+    # hand-off; lower bound), "hr" feeds the ground-truth HR (oracle upper
+    # bound).  l_sr / SR-branch training are identical across all three.
+    handoff_source: str = dataclasses.field(metadata=dict(static=True),
+                                            default="sampled")
 
 
 class JointTrainState(NamedTuple):
@@ -241,6 +252,7 @@ def build_joint(cfg, flame: FlameModel | None = None,
             cfg.mica.train.get("freeze_arcface_prefix", True)),
         handoff_grad_scale=float(
             cfg.train.get("handoff_grad_scale", 1.0)),
+        handoff_source=str(cfg.train.get("handoff_source", "sampled")),
     )
 
 
@@ -434,11 +446,22 @@ def _handoff_sample(modules: "JointModules", denoise, cond, rng,
     if modules.train_sampler == "ddim":
         from ..diffusion.gaussian import ddim_sample_loop
 
+        chunk = modules.sample_remat_chunk
+        if chunk > 1 and modules.train_ddim_steps % chunk:
+            # a chunk tuned for the T-step ddpm loop (e.g. 4/8 at T=600)
+            # rarely divides train_ddim_steps (default 25); per-step remat
+            # is gradient-identical, so degrade gracefully instead of
+            # failing at trace time
+            warnings.warn(
+                f"tpu.sample_remat_chunk={chunk} does not divide "
+                f"train_ddim_steps={modules.train_ddim_steps}; the ddim "
+                "hand-off falls back to per-step remat (chunk=1)")
+            chunk = 1
         return ddim_sample_loop(
             denoise, modules.sched_train, cond, rng,
             num_steps=modules.train_ddim_steps, eta=1.0, init="marginal",
             differentiable=differentiable, remat=modules.sample_remat,
-            remat_chunk=modules.sample_remat_chunk)
+            remat_chunk=chunk)
     if modules.train_sampler != "ddpm":
         raise ValueError(
             f"unknown train_sampler {modules.train_sampler!r}: "
@@ -447,6 +470,29 @@ def _handoff_sample(modules: "JointModules", denoise, cond, rng,
         denoise, modules.sched_train, cond, rng,
         differentiable=differentiable, remat=modules.sample_remat,
         remat_chunk=modules.sample_remat_chunk).final
+
+
+def _handoff_image(modules: "JointModules", sr_params, cond, hr, rng,
+                   differentiable: bool) -> jax.Array:
+    """The image fed to the MICA branch, per ``handoff_source``.
+
+    "sampled" runs the in-step SR sampling (the reference pipeline);
+    "cond"/"hr" are the bicubic-lower-bound / HR-oracle control arms for
+    the SR→reconstruction value-chain study (no sampling, no θ_sr
+    dependence — the UNet still trains through l_sr identically)."""
+    src = modules.handoff_source
+    if src == "cond":
+        return cond
+    if src == "hr":
+        return hr
+    if src != "sampled":
+        raise ValueError(
+            f"unknown train.handoff_source {src!r}: expected 'sampled' "
+            "(reference pipeline), 'cond' (bicubic control) or 'hr' "
+            "(oracle control)")
+    return _handoff_sample(
+        modules, _handoff_denoise_fn(modules, sr_params, differentiable),
+        cond, rng, differentiable)
 
 
 def make_train_step(opt: optax.GradientTransformation,
@@ -487,10 +533,9 @@ def make_train_step(opt: optax.GradientTransformation,
 
         # SR sampling for the MICA branch (reference SR3_training →
         # super_resolution / super_resolution_learn, model/sr3d/model.py:351-366)
-        final = _handoff_sample(
-            modules, _handoff_denoise_fn(modules, params["sr"],
-                                         differentiable),
-            cond, k_sample, differentiable)
+        # — or a control-arm image when train.handoff_source is set
+        final = _handoff_image(modules, params["sr"], cond, hr, k_sample,
+                               differentiable)
         if modules.variant == "model3" and modules.sever_sr_grad:
             # reference-literal model3: continuous tensor blob, detached
             # (create_tensor_blob + .detach(), model/sr3d/model.py:483-490)
@@ -568,10 +613,8 @@ def make_eval_step():
         l_sr = p_losses_continuous(
             denoise, modules.sched_train, hr, cond, k_loss,
             loss_type=modules.loss_type) / hr.size
-        final = _handoff_sample(
-            modules, _handoff_denoise_fn(modules, state.params["sr"],
-                                         differentiable=False),
-            cond, k_sample, differentiable=False)
+        final = _handoff_image(modules, state.params["sr"], cond, hr,
+                               k_sample, differentiable=False)
         _, blob = sr_to_mica_inputs(
             final, image_size=modules.image_size,
             blob_size=modules.blob_size)

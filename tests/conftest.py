@@ -79,7 +79,8 @@ def no_persistent_compile_cache():
 
     Request (e.g. via a module-local autouse alias) from any module whose
     executables hit the XLA serialize segfault — currently
-    tests/test_trainer_e2e.py.  Setting the config alone is NOT enough:
+    tests/trainer_e2e_impl.py (run via the test_trainer_e2e.py subprocess
+    wrapper).  Setting the config alone is NOT enough:
     jax caches the initialized CacheInterface (and the is_cache_used bit)
     in module globals, so once any earlier test compiled anything the dir
     change is ignored; ``reset_cache()`` drops that sticky state so the

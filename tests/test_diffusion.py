@@ -279,3 +279,61 @@ def test_remat_chunk_gradients_match(tiny_unet, tiny_schedule):
 
     with pytest.raises(ValueError, match="must divide"):
         make_loss(7)(params)  # T=20 not divisible by 7
+
+
+def test_remat_chunk_gradients_match_ddim(tiny_unet, tiny_schedule):
+    """Same gradient-exactness pin for the DDIM loop's chunked remat —
+    this path is reachable in model3 training through joint.py's ddim
+    hand-off, so the call here mirrors _handoff_sample exactly
+    (differentiable=True, eta=1, init='marginal', remat=True)."""
+    from sr3d_tpu.diffusion.gaussian import ddim_sample_loop
+
+    unet, params = tiny_unet
+    cond = jax.random.uniform(jax.random.PRNGKey(4), (2, 16, 16, 3),
+                              jnp.float32, -1, 1)
+
+    def make_loss(chunk):
+        def loss(p):
+            out = ddim_sample_loop(
+                lambda x, t: unet.apply(p, x, t), tiny_schedule, cond,
+                jax.random.PRNGKey(12), num_steps=10, eta=1.0,
+                init="marginal", differentiable=True, remat=True,
+                remat_chunk=chunk)
+            return jnp.sum(out ** 2)
+        return loss
+
+    g1 = jax.jit(jax.grad(make_loss(1)))(params)
+    g5 = jax.jit(jax.grad(make_loss(5)))(params)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g5)):
+        # chunked recompute reassociates float32 ops (observed: ≤1.2e-4
+        # rel on 3/864 elements); a wrong gradient PATH would be off by
+        # orders of magnitude, so this stays a sharp test
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=3e-4, atol=1e-5)
+
+    with pytest.raises(ValueError, match="must divide"):
+        make_loss(7)(params)  # num_steps=10 not divisible by 7
+
+
+def test_handoff_ddim_remat_chunk_fallback(tiny_unet, tiny_schedule):
+    """joint.py's ddim hand-off degrades to per-step remat (with a
+    warning) when tpu.sample_remat_chunk does not divide
+    train_ddim_steps, instead of raising at trace time (ADVICE r4)."""
+    from sr3d_tpu.train.joint import _handoff_sample
+
+    unet, params = tiny_unet
+
+    class M:  # minimal static-modules stand-in for _handoff_sample
+        train_sampler = "ddim"
+        train_ddim_steps = 10
+        sched_train = tiny_schedule
+        sample_remat = True
+        sample_remat_chunk = 4  # does not divide 10
+
+    cond = jax.random.uniform(jax.random.PRNGKey(5), (1, 16, 16, 3),
+                              jnp.float32, -1, 1)
+    denoise = lambda x, t: unet.apply(params, x, t)  # noqa: E731
+    with pytest.warns(UserWarning, match="falls back to per-step remat"):
+        out = _handoff_sample(M(), denoise, cond, jax.random.PRNGKey(6),
+                              differentiable=True)
+    assert out.shape == cond.shape

@@ -118,6 +118,68 @@ def test_loss_partition_semantics():
             assert gnorm == 0.0, "model2 must sever l_mica → UNet gradient"
 
 
+def test_handoff_source_control_arms():
+    """train.handoff_source: "cond"/"hr" are the bicubic/HR-oracle control
+    arms for the SR→reconstruction value-chain study (VERDICT r4 #2).
+    They must (a) change what MICA sees (different l_mica) while leaving
+    l_sr untouched, (b) carry NO θ_sr dependence even under model3
+    flow-through (no sampling happens), and (c) reject unknown values."""
+    from sr3d_tpu.train.joint import make_eval_step
+
+    batch = batch_of()
+    rng = jax.random.PRNGKey(3)
+    out = {}
+    for src in ("sampled", "cond", "hr"):
+        cfg = tiny_cfg("model2")
+        cfg.train.handoff_source = src
+        modules = build_joint(cfg)
+        assert modules.handoff_source == src
+        state = init_train_state(modules, cfg, jax.random.PRNGKey(0), 16)
+        out[src] = {k: float(v) for k, v in
+                    make_eval_step()(modules, state, batch, rng).items()}
+    # l_sr identical (hand-off never touches it); l_mica differs per source
+    assert out["cond"]["l_sr"] == out["hr"]["l_sr"] == out["sampled"]["l_sr"]
+    assert out["cond"]["l_mica"] != out["hr"]["l_mica"]
+    assert out["sampled"]["l_mica"] != out["cond"]["l_mica"]
+
+    # model3 flow-through + control source → still zero l_mica→UNet grad
+    cfg = tiny_cfg("model3")
+    cfg.train.handoff_source = "cond"
+    modules = build_joint(cfg)
+    state = init_train_state(modules, cfg, jax.random.PRNGKey(0), 16)
+    from sr3d_tpu.models import masking as masking_ops
+    from sr3d_tpu.ops.image import sr_to_mica_inputs
+    from sr3d_tpu.train.joint import (
+        _handoff_image,
+        decode_mica,
+        encode_mica,
+        gt_flame_vertices,
+    )
+
+    def l_mica_only(sr_params):
+        params = dict(state.params, sr=sr_params)
+        img = _handoff_image(modules, sr_params, batch["SR"], batch["HR"],
+                             jax.random.PRNGKey(0), differentiable=True)
+        _, blob = sr_to_mica_inputs(img, differentiable=True)
+        emb, _ = encode_mica(modules, params, state.arcface_stats, blob,
+                             train=False)
+        pred, _ = decode_mica(modules, params, emb)
+        gt = gt_flame_vertices(modules, batch["flame_shape"])
+        return masking_ops.masked_vertex_l1(pred, gt, modules.vertex_weights)
+
+    g = jax.grad(l_mica_only)(state.params["sr"])
+    gnorm = jax.tree_util.tree_reduce(
+        lambda a, x: a + float(jnp.sum(jnp.abs(x))), g, 0.0)
+    assert gnorm == 0.0
+
+    cfg = tiny_cfg("model2")
+    cfg.train.handoff_source = "nope"
+    modules = build_joint(cfg)
+    state = init_train_state(modules, cfg, jax.random.PRNGKey(0), 16)
+    with pytest.raises(ValueError, match="handoff_source"):
+        make_eval_step()(modules, state, batch, rng)
+
+
 @pytest.mark.parametrize("variant,sever", [("model2", False),
                                            ("model3", True),
                                            ("model3", False)])

@@ -155,11 +155,13 @@ def main(argv=None) -> int:
                 "loss_finite": bool(np.isfinite(float(m["loss"])))}
 
     results = []
+    failed = []
     for case in cases:
         try:
             rec = run_case(case)
         except Exception as e:  # e.g. RESOURCE_EXHAUSTED at large remat chunks
             variant, sever, sampler, n_fast, int8, chunk = case
+            failed.append((variant, sever, sampler, int8))
             print(json.dumps({"variant": variant, "sever_sr_grad": sever,
                               "remat_chunk": chunk, "train_sampler": sampler,
                               "handoff_int8": int8,
@@ -188,6 +190,14 @@ def main(argv=None) -> int:
                         by[(v, sv, s, False)]["sec_per_step"]
                         / max(by[(v, sv, s, True)]["sec_per_step"], 1e-9),
                         2)}), flush=True)
+    if failed:
+        # make 'pair missing because an arm FAILED' distinguishable from
+        # 'pair not requested' in the summary output (ADVICE r4)
+        print(json.dumps({
+            "summary": "FAILED cases excluded from speedup pairing",
+            "failed": [f"{v}{'+sever' if sv else ''}/{s}"
+                       f"{'/int8' if q else ''}"
+                       for v, sv, s, q in failed]}), flush=True)
     return 0
 
 

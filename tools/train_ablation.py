@@ -23,7 +23,17 @@ Arms (paired per seed: same init, same 80/20 actor split, same batches):
 * ``m3sever_ddim`` — model3 with ``train.sever_sr_grad`` (the reference's
                   literal ``.detach()``, model/sr3d/model.py:483-490) —
                   ablates whether the flow-through gradient helps;
-* ``m3_ddpm`` / ``m3sever_ddim_int8`` — optional extras.
+* ``m3_ddpm`` / ``m3sever_ddim_int8`` — optional extras;
+* ``m3_gs1m/gs10m/gs100u`` — REBALANCED flow-through
+                  (``train.handoff_grad_scale`` ∈ {1e-3, 1e-2, 1e-4});
+* ``m2_bicubic`` / ``m2_hr_oracle`` — value-chain CONTROL ARMS
+                  (``train.handoff_source`` = "cond"/"hr"): MICA fed the
+                  bicubic conditioning image / the ground-truth HR, no
+                  hand-off sampling — brackets what sampled SR buys the
+                  reconstruction branch (the reference's core claim);
+* ``m2_ema``    — EMA payoff A/B: val sampling on EMA UNet weights
+                  (short-horizon cadences), paired vs ``m2_ddim``'s
+                  val/psnr + val/ssim.
 
 TPU:  python tools/train_ablation.py --steps 1000 --eval-every 125 \
           --arms m2_ddpm,m2_ddim,m3_ddim,m3sever_ddim --seeds 0,1
@@ -67,6 +77,25 @@ ARMS = {
     # gradient streams are on comparable footing (handoff_grad_scale)
     "m3_gs1m": dict(cfgfile="model3", sever=False, sampler="ddim",
                     int8=False, grad_scale=1e-3),
+    "m3_gs10m": dict(cfgfile="model3", sever=False, sampler="ddim",
+                     int8=False, grad_scale=1e-2),
+    "m3_gs100u": dict(cfgfile="model3", sever=False, sampler="ddim",
+                      int8=False, grad_scale=1e-4),
+    # SR→reconstruction value-chain CONTROL ARMS (VERDICT r4 #2: the
+    # reference's reason to exist — super-resolved faces improving 3D
+    # reconstruction over the LR input — had never been measured).  Both
+    # train the SR branch identically (l_sr untouched); only the image
+    # the MICA branch sees changes:
+    "m2_bicubic": dict(cfgfile="model2", sever=False, sampler="ddim",
+                       int8=False, source="cond"),
+    "m2_hr_oracle": dict(cfgfile="model2", sever=False, sampler="ddim",
+                         int8=False, source="hr"),
+    # EMA payoff A/B (VERDICT r4 #6): same training as m2_ddim, but val
+    # sampling runs on the EMA UNet weights (short-horizon EMA cadences —
+    # the production step_start_ema=5000 would never engage in a study
+    # run); paired against m2_ddim's val/psnr + val/ssim trajectory
+    "m2_ema": dict(cfgfile="model2", sever=False, sampler="ddim",
+                   int8=False, ema=True),
 }
 
 
@@ -81,6 +110,12 @@ def build_cfg(arm: str, seed: int, args):
     cfg.name = f"{arm}_s{seed}"
     cfg.train.sever_sr_grad = bool(spec["sever"])
     cfg.train.handoff_grad_scale = float(spec.get("grad_scale", 1.0))
+    cfg.train.handoff_source = str(spec.get("source", "sampled"))
+    if spec.get("ema"):
+        cfg.train.val_use_ema = True
+        cfg.sr.train.ema_scheduler.step_start_ema = 100
+        cfg.sr.train.ema_scheduler.update_ema_every = 1
+        cfg.sr.train.ema_scheduler.ema_decay = 0.999
     cfg.mica.model.synthetic_flame_kind = "sphere"
     # Study regime, not a parity claim: this environment has no pretrained
     # backbone.pth, so the reference's ArcFace prefix freeze would pin 3/4
@@ -246,7 +281,17 @@ def report(results: list[dict]) -> None:
              ("m2_ddim", "m3_gs1m",
               "model2 vs REBALANCED flow-through (grad_scale 1e-3)"),
              ("m3sever_ddim", "m3_gs1m",
-              "severed vs rebalanced flow-through")]
+              "severed vs rebalanced flow-through"),
+             ("m3sever_ddim", "m3_gs10m",
+              "severed vs rebalanced flow-through (1e-2)"),
+             ("m3sever_ddim", "m3_gs100u",
+              "severed vs rebalanced flow-through (1e-4)"),
+             ("m2_bicubic", "m2_ddim",
+              "VALUE CHAIN: bicubic hand-off vs sampled SR"),
+             ("m2_ddim", "m2_hr_oracle",
+              "VALUE CHAIN: sampled SR vs HR oracle"),
+             ("m2_bicubic", "m2_hr_oracle",
+              "VALUE CHAIN: bicubic vs HR oracle (spread)")]
     for a, b_, label in pairs:
         ds = [(s, final_lmica(a, s), final_lmica(b_, s)) for s in seeds]
         ds = [(s, x, y) for s, x, y in ds if x is not None and y is not None]
@@ -254,6 +299,24 @@ def report(results: list[dict]) -> None:
             deltas = ", ".join(f"s{s}: {x:.2f} vs {y:.2f} (Δ {y - x:+.2f})"
                                for s, x, y in ds)
             print(f"{label}: {deltas}")
+
+    def final_tag(arm, s, tag):
+        r = by.get((arm, s))
+        if not r:
+            return None
+        pts = traj(r, tag)
+        return pts[max(pts)] if pts else None
+
+    # EMA payoff: the EMA arm's val sampling runs on EMA weights, so the
+    # comparison metric is SR quality (psnr/ssim), not l_mica
+    ema_rows = [(s, final_tag("m2_ddim", s, t), final_tag("m2_ema", s, t), t)
+                for s in seeds for t in ("val/psnr", "val/ssim")]
+    ema_rows = [r for r in ema_rows if r[1] is not None and r[2] is not None]
+    if ema_rows:
+        print("\n== EMA payoff (final val SR quality, live vs EMA val) ==")
+        for s, live, ema, t in ema_rows:
+            print(f"s{s} {t}: live {live:.3f} vs ema {ema:.3f} "
+                  f"(Δ {ema - live:+.3f})")
 
 
 def main(argv=None) -> int:
