@@ -244,3 +244,80 @@ def test_ddim_handoff_joint_step_dp_matches_single(mesh8):
     for k in ("l_sr", "l_mica", "loss"):
         np.testing.assert_allclose(float(m1[k]), float(m8[k]), rtol=2e-5,
                                    err_msg=k)
+
+
+@pytest.mark.parametrize("dp,tp", [(8, 1), (2, 4)])
+def test_flagship_geometry_compile_only(dp, tp):
+    """Compile-only GSPMD coverage at FLAGSHIP-LIKE geometry (VERDICT r4
+    #8): 128² images through the full 5-level channel topology
+    (mults 1,2,4,8,8, attn@16 — spatial dims 128→8 across levels), the
+    full joint train step lowered + compiled at dp8 and dp2×tp4.  The
+    execute-path equivalence is carried by the tiny-shape tests above;
+    this catches sharding-geometry regressions (divisibility, halo,
+    reshard) that 16² toys can't see.  No execution: abstract state via
+    eval_shape, ShapeDtypeStruct batch; ~2 min per mesh on the CPU
+    backend (measured: dp8 ~96 s, dp2×tp4 ~140 s compile)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from sr3d_tpu.config.defaults import get_cfg_defaults
+    from sr3d_tpu.parallel import steps as steps_lib
+    from sr3d_tpu.train.joint import (
+        abstract_train_state,
+        build_joint,
+        make_optimizer,
+        make_train_step,
+    )
+
+    hr = 128
+    cfg = get_cfg_defaults()
+    cfg.model = "model2"
+    cfg.tpu.compute_dtype = "float32"
+    cfg.tpu.sample_remat = False
+    cfg.tpu.train_remat = False
+    cfg.tpu.tp_min_channels = 16
+    cfg.sr.model.unet.inner_channel = 16   # flagship topology, thin width
+    cfg.sr.model.unet.norm_groups = 8      # (compile cost only — the
+    cfg.sr.model.unet.channel_multiplier = [1, 2, 4, 8, 8]  # sharding
+    cfg.sr.model.unet.attn_res = [16]      # geometry is what's under test)
+    cfg.sr.model.unet.res_blocks = 1
+    cfg.sr.model.unet.dropout = 0.0
+    cfg.sr.model.diffusion.image_size = hr
+    cfg.sr.datasets.train.r_resolution = hr
+    for ph in ("train", "val"):
+        cfg.sr.model.beta_schedule[ph].n_timestep = 4
+    cfg.mica.model.n_shape = 16
+    cfg.mica.model.n_exp = 8
+    cfg.mica.model.map_hidden_dim = 32
+    cfg.mica.model.arcface_layers = [1, 1, 1, 1]
+
+    modules = build_joint(cfg)
+    opt = make_optimizer(cfg)
+    astate = abstract_train_state(modules, cfg, hr)
+
+    mesh = make_mesh((dp, tp))
+    repl = NamedSharding(mesh, P())
+    bsh = NamedSharding(mesh, P(DATA_AXIS))
+    ssh = steps_lib.state_shardings(mesh, astate, min_channels=16)
+    if tp > 1:
+        sharded = [s for s in jax.tree_util.tree_leaves(ssh)
+                   if any(ax is not None for ax in s.spec)]
+        assert sharded, "tp=4 but no state leaf is model-axis sharded"
+    step = jax.jit(make_train_step(opt),
+                   in_shardings=(repl, ssh, bsh, repl),
+                   out_shardings=(ssh, repl))
+    batch = {"HR": jax.ShapeDtypeStruct((dp, hr, hr, 3), jnp.float32),
+             "SR": jax.ShapeDtypeStruct((dp, hr, hr, 3), jnp.float32),
+             "flame_shape": jax.ShapeDtypeStruct((dp, 16), jnp.float32)}
+    rng = jax.ShapeDtypeStruct((2,), jnp.uint32)
+    compiled = step.lower(modules, astate, batch, rng).compile()
+    # the compiled executable must consume the state in the requested TP
+    # layout (no silent replicate-everything fallback)
+    got_state_sh = compiled.input_shardings[0][1]
+    flat_want = jax.tree_util.tree_leaves(ssh)
+    flat_got = jax.tree_util.tree_leaves(got_state_sh)
+    flat_leaf = jax.tree_util.tree_leaves(astate)
+    assert any(
+        w.is_equivalent_to(g, len(leaf.shape)) and
+        any(ax is not None for ax in w.spec)
+        for w, g, leaf in zip(flat_want, flat_got, flat_leaf)
+        if g is not None) or tp == 1
