@@ -48,6 +48,7 @@ axon tunnel (measured 2.0 "faces/s" async vs 1.18 with a real barrier).
 """
 
 import json
+import threading
 import time
 
 import os as _os
@@ -56,6 +57,31 @@ _sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
 
 import jax
 import jax.numpy as jnp
+
+# Watchdog (round 5): TPU-tunnel outages make device EXECUTE RPCs hang
+# forever while jax.devices() still succeeds (CLAUDE.md; observed live
+# 2026-08-20: minimal jit add hung >120 s with the relay up).  If the
+# whole benchmark hasn't completed within the bound, print an HONEST
+# error JSON line (same "metric" key so the driver records a failure,
+# not a stale success) and hard-exit — never hang the driver.
+_WATCHDOG_SECS = 2700  # generous: covers the slow scan-of-conv compiles
+
+
+def _arm_watchdog():
+    def fire():
+        print(json.dumps({
+            "metric": "sr3_16to128_sampling_throughput_quality_parity",
+            "value": 0.0, "unit": "faces/sec/chip", "vs_baseline": 0.0,
+            "error": f"watchdog: benchmark did not complete within "
+                     f"{_WATCHDOG_SECS}s — TPU tunnel outage? "
+                     "(device executes hang while jax.devices() works; "
+                     "see CLAUDE.md)"}), flush=True)
+        _os._exit(3)
+
+    t = threading.Timer(_WATCHDOG_SECS, fire)
+    t.daemon = True
+    t.start()
+    return t
 
 H100_SINGLE_STREAM_FACES_PER_SEC = 0.33  # estimated; see module docstring
 
@@ -66,6 +92,7 @@ DDIM_STEPS = 25
 
 
 def main():
+    watchdog = _arm_watchdog()
     from sr3d_tpu.diffusion.gaussian import ddim_sample_loop, p_sample_loop
     from sr3d_tpu.diffusion.schedules import make_schedule
     from sr3d_tpu.models.sr3_unet import SR3UNet
@@ -152,6 +179,7 @@ def main():
     dt_anc = time.perf_counter() - t0
     anc_faces_per_sec = n_anc * BATCH / dt_anc
 
+    watchdog.cancel()
     print(json.dumps({
         "metric": "sr3_16to128_sampling_throughput_quality_parity",
         "value": round(faces_per_sec, 4),
