@@ -160,6 +160,50 @@ def render_flame_views(flame, betas: np.ndarray, yaws: np.ndarray,
     return np.concatenate(out) * 2.0 - 1.0
 
 
+def _identity_texture_basis(n_freq: int, res: int,
+                            seed: int = 12345) -> np.ndarray:
+    """[K, res, res] bank of fixed high-frequency plane waves (16–36
+    cycles/image at the 224 render: destroyed by 16 px downsampling —
+    Nyquist 8 c/img — but preserved through the 128 HR and the 112
+    arcface blob).  Deterministic and shared across actors/datasets."""
+    rng = np.random.RandomState(seed)
+    yy, xx = np.mgrid[0:res, 0:res].astype(np.float32) / res
+    fs = rng.uniform(16.0, 36.0, n_freq).astype(np.float32)
+    th = rng.uniform(0.0, np.pi, n_freq).astype(np.float32)
+    ph = rng.uniform(0.0, 2 * np.pi, n_freq).astype(np.float32)
+    return np.stack([
+        np.cos(2 * np.pi * f * (np.cos(t) * xx + np.sin(t) * yy) + p)
+        for f, t, p in zip(fs, th, ph)]).astype(np.float32)
+
+
+def apply_identity_texture(imgs_m11: np.ndarray, betas: np.ndarray,
+                           amp: float, n_freq: int = 32) -> np.ndarray:
+    """Superimpose an identity-coded HIGH-FREQUENCY texture on rendered
+    faces: per-image modulation ``amp · Σ_k tanh(β_k)·B_k`` over the fixed
+    wave bank, masked to the rendered head.
+
+    This plants identity information that 16 px downsampling provably
+    destroys (the waves alias to ~0 under the antialiased bicubic
+    reduction) while the geometry/shading identity cue of the plain
+    renders survives any blur.  It exists for the SR→reconstruction
+    value-chain study (the reference's core claim,
+    /root/reference/model/sr3d/model.py:441-533): on plain renders the
+    bicubic-conditioning control arm matches the HR oracle — identity is
+    low-frequency there — so only texture-coded data can measure what
+    image fidelity buys the 3D branch.  With sphere_flame's amp/(1+0.15k)
+    component decay, the first 32 β carry ≈ 82% of vertex-L1 variance, so
+    a branch that decodes them from texture separates decisively.
+
+    ``imgs_m11`` [N,S,S,3] in [-1,1]; ``betas`` [N, n_shape] (the SAME
+    vector the MICA branch regresses).  Returns a new array."""
+    K = int(min(n_freq, betas.shape[1]))
+    B = _identity_texture_basis(K, imgs_m11.shape[1])
+    coef = np.tanh(betas[:, :K].astype(np.float32))
+    pat = np.einsum("nk,kxy->nxy", coef, B) / np.sqrt(K / 2.0)
+    mask = (imgs_m11.mean(-1) > -0.98).astype(np.float32)
+    return np.clip(imgs_m11 + (amp * pat * mask)[..., None], -1.0, 1.0)
+
+
 def generate_correlated_joint_root(
     root: str | os.PathLike,
     flame,
@@ -173,6 +217,7 @@ def generate_correlated_joint_root(
     shape_std: float = 1.0,
     yaw_deg: float = 25.0,
     pitch_deg: float = 10.0,
+    texture_identity: float = 0.0,
 ) -> Path:
     """Identity-CORRELATED joint dataset: every actor's images are rendered
     *from their FLAME shape* (per-image pose/light jitter), so the joint
@@ -201,6 +246,9 @@ def generate_correlated_joint_root(
 
     imgs = render_flame_views(flame, np.repeat(shapes, K, axis=0),
                               yaws, pitches, lights, image_size=img_res)
+    if texture_identity > 0:
+        imgs = apply_identity_texture(imgs, np.repeat(shapes, K, axis=0),
+                                      amp=texture_identity)
 
     paths_dict = {}
     for a in range(n_actors):
@@ -230,6 +278,7 @@ def generate_correlated_faces(
     r_res: int,
     seed: int = 0,
     shape_std: float = 1.0,
+    texture_identity: float = 0.0,
 ) -> Path:
     """SR-only val root (``lr_{l}/hr_{r}/sr_{l}_{r}`` layout) whose faces
     are renders of *held-out* FLAME shapes — the on-distribution companion
@@ -245,6 +294,8 @@ def generate_correlated_faces(
     lights = np.tile(np.array([[0.0, 0.0, 1.0]], np.float32), (n, 1))
     imgs = render_flame_views(flame, shapes, yaws, pitches, lights,
                               image_size=max(r_res, 64))
+    if texture_identity > 0:
+        imgs = apply_identity_texture(imgs, shapes, amp=texture_identity)
 
     lr_d = root / f"lr_{l_res}"
     hr_d = root / f"hr_{r_res}"

@@ -384,3 +384,42 @@ def test_correlated_joint_root_layout_and_determinism(tmp_path):
     assert item["arcface"].shape == (2, 112, 112, 3)
     assert item["flame_shape"].shape == (2, 8)
     np.testing.assert_allclose(item["flame_shape"][0], betas[:8])
+
+
+def test_identity_texture_highfreq_destroyed_by_lr(tmp_path):
+    """apply_identity_texture (round-5 value-chain study): the identity
+    texture survives the HR/blob resolutions but is destroyed by the 16 px
+    LR reduction — the property that lets the m2_bicubic / m2_hr_oracle
+    control arms separate (on plain renders identity is low-frequency and
+    bicubic matches the HR oracle; PERF.md round 5)."""
+    from PIL import Image
+
+    from sr3d_tpu.data.synthetic import apply_identity_texture
+
+    rng = np.random.RandomState(0)
+    base = np.full((2, 128, 128, 3), 0.2, np.float32)
+    base[:, :8] = -1.0  # background band: must stay untouched (mask)
+    betas = rng.randn(2, 40).astype(np.float32)
+    tex = apply_identity_texture(base, betas, amp=0.3)
+
+    # identity-coded: deterministic, beta-dependent, background-masked
+    np.testing.assert_array_equal(
+        tex, apply_identity_texture(base, betas, amp=0.3))
+    assert not np.allclose(tex[0], tex[1])
+    same = apply_identity_texture(base, betas[[0, 0]], amp=0.3)
+    np.testing.assert_array_equal(same[0], same[1])
+    np.testing.assert_array_equal(tex[:, :4], base[:, :4])
+
+    # full-res modulation is strong...
+    assert np.abs(tex[0, 16:] - base[0, 16:]).mean() > 0.05
+
+    def down16(img_m11):
+        u8 = ((img_m11 + 1) / 2 * 255).round().astype(np.uint8)
+        lr = Image.fromarray(u8).resize((16, 16), Image.BICUBIC)
+        return np.asarray(lr).astype(np.float32) / 255 * 2 - 1
+
+    # ...but the antialiased 16px reduction kills it: the textured and
+    # plain images become nearly indistinguishable at LR
+    d_lr = np.abs(down16(tex[0]) - down16(base[0])).mean()
+    d_hr = np.abs(tex[0] - base[0]).mean()
+    assert d_lr < 0.02 and d_lr < d_hr / 10

@@ -184,17 +184,20 @@ def ensure_data(wd: Path, seed: int, cfg, args) -> tuple[Path, Path]:
     n_exp = int(cfg.mica.model.n_exp)
     # MUST match build_joint's sphere fallback exactly (same seed=0 model)
     flame = sphere_flame(n_shape=n_shape, n_exp=n_exp)
-    joint = wd / f"data_s{seed}_{lr}_{hr}_{n_shape}" / "joint"
-    ev = wd / f"data_s{seed}_{lr}_{hr}_{n_shape}" / "eval"
+    tex = float(getattr(args, "texture_identity", 0.0))
+    tag = f"data_s{seed}_{lr}_{hr}_{n_shape}" + (f"_tex{tex:g}" if tex else "")
+    joint = wd / tag / "joint"
+    ev = wd / tag / "eval"
     if not joint.exists():
         t0 = time.time()
         generate_correlated_joint_root(
             joint, flame, name="SYNC", n_actors=args.actors,
             imgs_per_actor=args.imgs, img_res=224, lr_res=lr, hr_res=hr,
-            seed=seed, shape_std=args.shape_std)
+            seed=seed, shape_std=args.shape_std, texture_identity=tex)
         generate_correlated_faces(ev, flame, n=args.val_faces, l_res=lr,
                                   r_res=hr, seed=seed + 7777,
-                                  shape_std=args.shape_std)
+                                  shape_std=args.shape_std,
+                                  texture_identity=tex)
         print(f"[data] seed {seed}: {args.actors} actors x {args.imgs} "
               f"rendered in {time.time() - t0:.0f}s -> {joint}", flush=True)
     return joint, ev
@@ -226,6 +229,7 @@ def run_arm(arm: str, seed: int, args, wd: Path) -> dict:
             series.setdefault(r["tag"], []).append(
                 (int(r["step"]), float(r["value"])))
     return {"arm": arm, "seed": seed, "steps": args.steps,
+            "texture_identity": float(getattr(args, "texture_identity", 0.0)),
             "wall_s": round(wall, 1),
             "sec_per_step": round(wall / max(args.steps, 1), 3),
             "baseline": base, "series": series}
@@ -329,6 +333,15 @@ def main(argv=None) -> int:
     ap.add_argument("--imgs", type=int, default=4)
     ap.add_argument("--val-faces", type=int, default=4)
     ap.add_argument("--shape-std", type=float, default=1.0)
+    ap.add_argument("--texture-identity", type=float, default=0.0,
+                    help="amplitude of the identity-coded high-frequency "
+                         "texture (data/synthetic.py::apply_identity_"
+                         "texture): plants identity information that 16px "
+                         "downsampling destroys, so the value-chain "
+                         "control arms (m2_bicubic vs m2_ddim vs "
+                         "m2_hr_oracle) can separate; 0 = plain renders, "
+                         "where identity is low-frequency and survives "
+                         "bicubic. Use a dedicated --workdir per value.")
     ap.add_argument("--mica-lr", type=float, default=1e-4,
                     help="study lr for mapping+arcface (0 keeps the "
                          "config's reference 1e-5, which is scaled for "
@@ -385,7 +398,8 @@ def main(argv=None) -> int:
     seeds = [int(s) for s in args.seeds.split(",") if s.strip()]
 
     done = {(r["arm"], r["seed"]) for r in results
-            if r.get("steps") == args.steps}
+            if r.get("steps") == args.steps
+            and r.get("texture_identity", 0.0) == args.texture_identity}
     for seed in seeds:
         for arm in arms:
             if (arm, seed) in done:
