@@ -194,14 +194,23 @@ def apply_identity_texture(imgs_m11: np.ndarray, betas: np.ndarray,
     component decay, the first 32 β carry ≈ 82% of vertex-L1 variance, so
     a branch that decodes them from texture separates decisively.
 
+    The modulation is HEADROOM-SCALED (``amp·pat·(1−|img|)``) rather than
+    clipped: clipping would rectify the zero-mean waves wherever the base
+    image saturates, leaking an identity-coded LOW-frequency mean shift
+    that survives the 16 px reduction (measured: 7.6/255 mean-abs on the
+    bicubic conditioning before this fix, <1/255 after) and would
+    contaminate the bicubic control arm.
+
     ``imgs_m11`` [N,S,S,3] in [-1,1]; ``betas`` [N, n_shape] (the SAME
     vector the MICA branch regresses).  Returns a new array."""
     K = int(min(n_freq, betas.shape[1]))
     B = _identity_texture_basis(K, imgs_m11.shape[1])
     coef = np.tanh(betas[:, :K].astype(np.float32))
-    pat = np.einsum("nk,kxy->nxy", coef, B) / np.sqrt(K / 2.0)
+    pat = np.tanh(np.einsum("nk,kxy->nxy", coef, B) / np.sqrt(K / 2.0))
     mask = (imgs_m11.mean(-1) > -0.98).astype(np.float32)
-    return np.clip(imgs_m11 + (amp * pat * mask)[..., None], -1.0, 1.0)
+    head = 1.0 - np.abs(imgs_m11)
+    out = imgs_m11 + amp * (pat * mask)[..., None] * head
+    return np.clip(out, -1.0, 1.0)  # no-op for amp <= 1; belt and braces
 
 
 def generate_correlated_joint_root(

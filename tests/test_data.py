@@ -397,7 +397,11 @@ def test_identity_texture_highfreq_destroyed_by_lr(tmp_path):
     from sr3d_tpu.data.synthetic import apply_identity_texture
 
     rng = np.random.RandomState(0)
+    # include near-saturated regions: clipping (rather than headroom
+    # scaling) would rectify the waves there into an identity-coded
+    # low-frequency shift that survives the LR reduction
     base = np.full((2, 128, 128, 3), 0.2, np.float32)
+    base[:, 64:] = 0.9
     base[:, :8] = -1.0  # background band: must stay untouched (mask)
     betas = rng.randn(2, 40).astype(np.float32)
     tex = apply_identity_texture(base, betas, amp=0.3)
