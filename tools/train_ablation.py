@@ -304,6 +304,27 @@ def report(results: list[dict]) -> None:
                                for s, x, y in ds)
             print(f"{label}: {deltas}")
 
+    # Tail-paired deltas: the arms of one seed share init/batches, so the
+    # per-eval-point delta over the settled tail (second half of training)
+    # is far tighter than the final-value comparison above (the study
+    # regime overfits past ~1500 steps and single-eval noise is ±3-8).
+    print("\n== tail-paired per-eval deltas (val l_mica, evals in the "
+          "last 2/3; mean ± sd over points x seeds; negative = B better) ==")
+    for a, b_, label in pairs:
+        ds = []
+        for s in seeds:
+            ra, rb = by.get((a, s)), by.get((b_, s))
+            if not ra or not rb:
+                continue
+            pa, pb = traj(ra, "val_mica/l_mica"), traj(rb, "val_mica/l_mica")
+            lo = max(pa) // 3
+            ds += [pb[e] - pa[e] for e in sorted(pa)
+                   if e > lo and e in pb]
+        if len(ds) >= 4:
+            mean = sum(ds) / len(ds)
+            sd = (sum((d - mean) ** 2 for d in ds) / (len(ds) - 1)) ** 0.5
+            print(f"{label}: {mean:+.2f} ± {sd:.2f} (n={len(ds)})")
+
     def final_tag(arm, s, tag):
         r = by.get((arm, s))
         if not r:
